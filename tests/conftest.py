@@ -1,0 +1,18 @@
+"""Test env setup: CPU backend with a virtual 8-device mesh.
+
+Mirrors the multi-node-without-a-cluster approach described in SURVEY.md §4 —
+jit-under-mesh tests run against XLA's forced host platform device count.
+Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
