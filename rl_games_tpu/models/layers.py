@@ -1,0 +1,444 @@
+"""Building-block layers for the config-driven network builder.
+
+Flax-linen re-designs of the reference's torso components:
+  * activation / initializer factories — network_builder.py:50-73
+    (torch-default Linear init reproduced for 'default')
+  * MLP with optional layer/batch norm — network_builder.py:110-135
+  * D2RL dense-skip MLP — algos_torch/d2rl.py:3-33
+  * CNN stacks (conv2d / conv1d / coord_conv / spatial softargmax) —
+    network_builder.py:160-209, spatial_softmax.py:7-72
+  * Impala residual tower — network_builder.py:599-688
+  * Done-masked multi-layer LSTM/GRU core — common/layers/recurrent.py:26-58
+    (the per-step masked formulation, exact math of the reference's
+    segment-splitting loop, realized as nn.scan over time)
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Activation factory (network_builder.py:50-59)
+# ---------------------------------------------------------------------------
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "softplus": jax.nn.softplus,
+    "None": lambda x: x,
+    None: lambda x: x,
+}
+
+
+def get_activation(name) -> Callable:
+    return ACTIVATIONS[name]
+
+
+# ---------------------------------------------------------------------------
+# Initializer factory (network_builder.py:61-73)
+# ---------------------------------------------------------------------------
+
+
+def torch_default_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+
+    flax kernel shape is (fan_in, fan_out).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_default_bias_init_for(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def get_initializer(cfg: Optional[dict]):
+    """Map a reference initializer config {'name': ..., **kw} to a flax init."""
+    if not cfg:
+        return torch_default_kernel_init
+    name = cfg.get("name", "default")
+    if name == "const_initializer":
+        val = cfg.get("val", cfg.get("value", 0))
+        return jax.nn.initializers.constant(float(val))
+    if name in ("orthogonal_initializer", "orthogonal"):
+        return jax.nn.initializers.orthogonal(scale=float(cfg.get("gain", 1.0)))
+    if name == "glorot_normal_initializer":
+        return jax.nn.initializers.glorot_normal()
+    if name == "glorot_uniform_initializer":
+        return jax.nn.initializers.glorot_uniform()
+    if name == "variance_scaling_initializer":
+        return jax.nn.initializers.variance_scaling(
+            scale=float(cfg.get("scale", 2.0)), mode="fan_in",
+            distribution="truncated_normal",
+        )
+    if name == "random_uniform_initializer":
+        lo = float(cfg.get("a", cfg.get("minval", 0.0)))
+        hi = float(cfg.get("b", cfg.get("maxval", 1.0)))
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, lo, hi)
+
+        return uniform_init
+    if name == "kaiming_normal":
+        return jax.nn.initializers.he_normal()
+    return torch_default_kernel_init
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch-style default bias init (zeros when a custom
+    kernel init is configured, mirroring the reference's zero-bias pass
+    network_builder.py:336-343)."""
+
+    features: int
+    kernel_init: Callable = torch_default_kernel_init
+    torch_default: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bias_init = (
+            torch_default_bias_init_for(fan_in)
+            if self.torch_default
+            else jax.nn.initializers.zeros
+        )
+        return nn.Dense(
+            self.features, kernel_init=self.kernel_init, bias_init=bias_init
+        )(x)
+
+
+def make_dense(features, init_cfg: Optional[dict], name: Optional[str] = None):
+    """Dense whose init follows the reference convention: custom inits come
+    with zeroed biases (network_builder.py:336-343); 'default' keeps torch's
+    Linear default for both."""
+    if not init_cfg or init_cfg.get("name", "default") == "default":
+        return Dense(features, torch_default=True, name=name)
+    return Dense(
+        features,
+        kernel_init=get_initializer(init_cfg),
+        torch_default=False,
+        name=name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLP / D2RL
+# ---------------------------------------------------------------------------
+
+
+class MLP(nn.Module):
+    """Sequential MLP (network_builder.py:110-135): Dense→act→[norm] per unit."""
+
+    units: Sequence[int]
+    activation: str
+    initializer: Optional[dict] = None
+    norm_func_name: Optional[str] = None
+    norm_only_first_layer: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.activation)
+        need_norm = True
+        for unit in self.units:
+            x = make_dense(unit, self.initializer)(x)
+            x = act(x)
+            if need_norm:
+                if self.norm_only_first_layer and self.norm_func_name is not None:
+                    need_norm = False
+                if self.norm_func_name == "layer_norm":
+                    x = nn.LayerNorm()(x)
+                elif self.norm_func_name == "batch_norm":
+                    # stateless batch-norm stand-in: layer norm semantics are
+                    # the jit-friendly choice; reference batch_norm is unused
+                    # by the shipped configs
+                    x = nn.LayerNorm()(x)
+        return x
+
+
+class D2RLMLP(nn.Module):
+    """Dense-skip MLP (d2rl.py:3-33): input concatenated before layers 1..n.
+
+    Note the reference applies norm AFTER activation on layer 0 but BEFORE
+    activation on later layers — preserved here.
+    """
+
+    units: Sequence[int]
+    activation: str
+    initializer: Optional[dict] = None
+    norm_func_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.activation)
+        inp = x
+
+        def norm(y):
+            if self.norm_func_name in ("layer_norm", "batch_norm"):
+                return nn.LayerNorm()(y)
+            return y
+
+        x = make_dense(self.units[0], self.initializer)(inp)
+        x = act(x)
+        x = norm(x)
+        for unit in self.units[1:]:
+            x = jnp.concatenate([x, inp], axis=-1)
+            x = make_dense(unit, self.initializer)(x)
+            x = norm(x)
+            x = act(x)
+        return x
+
+
+def build_mlp(units, activation, initializer=None, norm_func_name=None,
+              d2rl=False, norm_only_first_layer=False, name=None):
+    if d2rl:
+        return D2RLMLP(units, activation, initializer, norm_func_name, name=name)
+    return MLP(units, activation, initializer, norm_func_name,
+               norm_only_first_layer, name=name)
+
+
+# ---------------------------------------------------------------------------
+# CNN stacks — NHWC layout (TPU-native; the reference permutes to NCHW for
+# torch, network_builder.py:233-236 — we instead keep XLA's preferred NHWC)
+# ---------------------------------------------------------------------------
+
+
+class SpatialSoftArgmax(nn.Module):
+    """Soft arg-max over each feature map (spatial_softmax.py:7-72).
+
+    Input NHWC; output [B, C*2] of (x, y) expected pixel coordinates.
+    """
+
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        flat = x.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+        softmax = jax.nn.softmax(flat, axis=-1)
+        if self.normalize:
+            xs = jnp.linspace(-1.0, 1.0, w)
+            ys = jnp.linspace(-1.0, 1.0, h)
+        else:
+            xs = jnp.arange(w, dtype=jnp.float32)
+            ys = jnp.arange(h, dtype=jnp.float32)
+        # reference meshgrid(x over w, y over h) with default 'ij' indexing:
+        # xc[i,j] = xs[i] broadcast over h — flattened in (w, h) order
+        xc = jnp.repeat(xs, h)
+        yc = jnp.tile(ys, w)
+        x_mean = (softmax * xc).sum(-1)
+        y_mean = (softmax * yc).sum(-1)
+        return jnp.stack([x_mean, y_mean], axis=-1).reshape(b, c * 2)
+
+
+class CNN(nn.Module):
+    """Conv2d stack from a `convs` config list (network_builder.py:160-188)."""
+
+    convs: Sequence[dict]
+    activation: str
+    initializer: Optional[dict] = None
+    norm_func_name: Optional[str] = None
+    ctype: str = "conv2d"
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.activation)
+        kernel_init = (
+            get_initializer(self.initializer)
+            if self.initializer
+            else torch_default_kernel_init
+        )
+        is_1d = self.ctype == "conv1d"
+        for i, conv in enumerate(self.convs):
+            if not isinstance(conv, dict):
+                conv = dict(conv)  # frozen (key, value) tuples from the builder
+            if self.ctype == "coord_conv2d":
+                # CoordConv (torch_ext.py:223-240): append normalized x/y
+                # (+ r on request) coordinate channels before each conv
+                b, h, w, _ = x.shape
+                yy = jnp.broadcast_to(
+                    jnp.linspace(-1.0, 1.0, h)[None, :, None, None], (b, h, w, 1)
+                )
+                xx = jnp.broadcast_to(
+                    jnp.linspace(-1.0, 1.0, w)[None, None, :, None], (b, h, w, 1)
+                )
+                x = jnp.concatenate([x, xx, yy], axis=-1)
+            k = conv["kernel_size"]
+            s = conv["strides"]
+            p = conv["padding"]
+            if is_1d:
+                kernel = (k,) if isinstance(k, int) else tuple(k)
+                strides = (s,) if isinstance(s, int) else tuple(s)
+                padding = [(p, p)] if isinstance(p, int) else p
+            else:
+                kernel = (k, k) if isinstance(k, int) else tuple(k)
+                strides = (s, s) if isinstance(s, int) else tuple(s)
+                padding = [(p, p), (p, p)] if isinstance(p, int) else p
+            x = nn.Conv(
+                conv["filters"],
+                kernel_size=kernel,
+                strides=strides,
+                padding=padding,
+                kernel_init=kernel_init,
+                bias_init=jax.nn.initializers.zeros,
+            )(x)
+            x = act(x)
+            if self.norm_func_name in ("layer_norm", "batch_norm"):
+                x = nn.LayerNorm()(x)
+        if self.ctype == "conv2d_spatial_softargmax":
+            x = SpatialSoftArgmax(normalize=True)(x)
+        return x
+
+
+class ImpalaResidualBlock(nn.Module):
+    """network_builder.py:643-672 (attention variant omitted in configs)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        return x + residual
+
+
+class ImpalaSequential(nn.Module):
+    """conv → maxpool(3,2) → 2 residual blocks (network_builder.py:675-688)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = ImpalaResidualBlock(self.channels)(x)
+        x = ImpalaResidualBlock(self.channels)(x)
+        return x
+
+
+class ImpalaCNN(nn.Module):
+    """Impala tower from a `conv_depths` config (network_builder.py:714-727)."""
+
+    conv_depths: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for depth in self.conv_depths:
+            x = ImpalaSequential(depth)(x)
+        x = jax.nn.relu(x)
+        return x.reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# Done-masked recurrent core
+# ---------------------------------------------------------------------------
+
+
+class _StackStep(nn.Module):
+    """One time-step through a stack of RNN cells with done masking.
+
+    carry: tuple over layers of cell carries; input: (x_t, done_t).
+    done_t ∈ {0,1} [B, 1]: the hidden state is zeroed BEFORE processing a
+    step whose `done` flag is set (recurrent.py:26-58 semantics — dones mark
+    the first step of a new episode segment).
+    """
+
+    kind: str
+    units: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        x_t, done_t = inp
+        keep = 1.0 - done_t
+        new_carry = []
+        h = x_t
+        for i in range(self.num_layers):
+            c_i = jax.tree.map(lambda c: c * keep, carry[i])
+            if self.kind == "lstm":
+                cell = nn.OptimizedLSTMCell(self.units, name=f"lstm_{i}")
+            else:
+                cell = nn.GRUCell(self.units, name=f"gru_{i}")
+            c_i, h = cell(c_i, h)
+            new_carry.append(c_i)
+        return tuple(new_carry), h
+
+
+class RNNCore(nn.Module):
+    """Multi-layer LSTM/GRU/identity unrolled over time with done masking.
+
+    Call: (x [num_seqs, seq_len, F], states, dones [num_seqs, seq_len] or None)
+      → (out [num_seqs, seq_len, units], new_states)
+
+    ``states`` uses the reference's checkpoint layout
+    (get_default_rnn_state, network_builder.py:517-540):
+      lstm → (h, c) each [num_layers, num_seqs, units]
+      gru  → (h,)         [num_layers, num_seqs, units]
+    """
+
+    kind: str  # 'lstm' | 'gru' | 'identity'
+    units: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x, states, dones=None):
+        if self.kind == "identity":
+            return x, states
+        num_seqs, seq_len, _ = x.shape
+        if dones is None:
+            dones = jnp.zeros((num_seqs, seq_len), x.dtype)
+        # states → per-layer flax carries
+        if self.kind == "lstm":
+            h, c = states
+            carry = tuple((c[i], h[i]) for i in range(self.num_layers))
+        else:
+            (h,) = states
+            carry = tuple(h[i] for i in range(self.num_layers))
+
+        xs = x.transpose(1, 0, 2)  # time-major
+        ds = dones.transpose(1, 0)[..., None].astype(x.dtype)
+
+        scan = nn.scan(
+            _StackStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        carry, ys = scan(self.kind, self.units, self.num_layers, name="stack")(
+            carry, (xs, ds)
+        )
+
+        if self.kind == "lstm":
+            new_h = jnp.stack([carry[i][1] for i in range(self.num_layers)])
+            new_c = jnp.stack([carry[i][0] for i in range(self.num_layers)])
+            new_states = (new_h, new_c)
+        else:
+            new_states = (jnp.stack(list(carry)),)
+        return ys.transpose(1, 0, 2), new_states
+
+
+def default_rnn_state(kind: str, num_layers: int, num_seqs: int, units: int):
+    """Zero initial states in the reference layout
+    (network_builder.py:517-540)."""
+    if kind == "identity":
+        units = 1
+    shape = (num_layers, num_seqs, units)
+    if kind == "lstm":
+        return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    return (jnp.zeros(shape, jnp.float32),)
