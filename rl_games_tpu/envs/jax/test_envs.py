@@ -1,0 +1,135 @@
+"""Device-resident test environments.
+
+JAX analogs of the reference fixtures (rl_games/envs/test/):
+  * MemoryEnv — the RNN credit-assignment task (rnn_env.py:5-158): a goal
+    position is shown for the first steps then hidden; the agent must walk to
+    it from memory. Validates recurrent policies end-to-end.
+  * AsymmetricEnv — velocity-masked observations with full state for the
+    central-value critic (test_asymmetric_env.py:6-55), built on the JAX
+    CartPole dynamics.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rl_games_tpu.envs.jax.base import JaxEnv
+from rl_games_tpu.envs.jax.classic import CartPole
+from rl_games_tpu.envs.spaces import Box, Discrete, DictSpace, EnvInfo
+
+
+@struct.dataclass
+class MemoryState:
+    pos: jnp.ndarray  # [2] int32
+    goal: jnp.ndarray  # [2] int32
+    steps: jnp.ndarray  # () int32
+
+
+class MemoryEnv(JaxEnv):
+    """Goal hidden after `show_time` steps (hide_object=True); reward 1 on
+    reaching it. Discrete(4) moves in +-x / +-y after step 1."""
+
+    def __init__(self, max_steps=21, hide_object=True, min_dist=2, max_dist=8,
+                 apply_dist_reward=False):
+        self.max_steps = max_steps
+        self.hide_object = hide_object
+        self.min_dist = min_dist
+        self.max_dist = max_dist
+        self.apply_dist_reward = apply_dist_reward
+        self.max_episode_steps = max_steps
+
+    def env_info(self):
+        return EnvInfo(
+            observation_space=Box(shape=(6,)),
+            action_space=Discrete(n=4),
+        )
+
+    def _obs(self, state: MemoryState):
+        show = jnp.where(
+            self.hide_object & (state.steps > 0), 0.0, 1.0
+        )
+        goal_obs = state.goal.astype(jnp.float32) * show
+        return jnp.concatenate(
+            [
+                state.pos.astype(jnp.float32),
+                goal_obs,
+                jnp.stack([show, state.steps.astype(jnp.float32)]),
+            ]
+        )
+
+    def reset(self, key):
+        k1, k2 = jax.random.split(key)
+        rand_dir = 1 - 2 * jax.random.randint(k1, (2,), 0, 2)
+        dist = jax.random.randint(k2, (2,), self.min_dist, self.max_dist + 1)
+        state = MemoryState(
+            pos=jnp.zeros(2, jnp.int32),
+            goal=(rand_dir * dist).astype(jnp.int32),
+            steps=jnp.zeros((), jnp.int32),
+        )
+        # reference reset obs always shows the goal with flags [1, 0]
+        obs = jnp.concatenate(
+            [
+                jnp.zeros(2, jnp.float32),
+                state.goal.astype(jnp.float32),
+                jnp.asarray([1.0, 0.0]),
+            ]
+        )
+        return state, obs
+
+    def step(self, estate: MemoryState, action, key):
+        steps = estate.steps + 1
+        # moves only allowed after step 1 (rnn_env.py:74-84)
+        can_move = steps > 2
+        delta = jnp.stack(
+            [
+                jnp.where(action == 0, 1, 0) - jnp.where(action == 1, 1, 0),
+                jnp.where(action == 2, 1, 0) - jnp.where(action == 3, 1, 0),
+            ]
+        ).astype(jnp.int32)
+        pos = estate.pos + jnp.where(can_move, delta, 0)
+        state = MemoryState(pos=pos, goal=estate.goal, steps=steps)
+        dist = pos - estate.goal
+        reached = (dist**2).sum() < 1
+        reward = jnp.where(reached, 1.0, 0.0)
+        if self.apply_dist_reward:
+            reward = reward - 0.1 * jnp.abs(dist).sum() / self.max_dist
+        terminated = reached
+        return state, self._obs(state), reward, terminated, {
+            "scores": jnp.where(reached, 1.0, 0.0)
+        }
+
+
+class AsymmetricEnv(JaxEnv):
+    """CartPole with velocity components masked from the actor obs; the full
+    state goes to the central-value critic via obs dict {'obs','states'}."""
+
+    def __init__(self):
+        self.inner = CartPole()
+        self.max_episode_steps = self.inner.max_episode_steps
+        # MaskVelocityWrapper mask for CartPole (wrappers.py:581-601)
+        self.mask = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+
+    def env_info(self):
+        return EnvInfo(
+            observation_space=Box(shape=(4,)),
+            action_space=Discrete(n=2),
+            state_space=Box(shape=(4,)),
+        )
+
+    def reset(self, key):
+        estate, obs = self.inner.reset(key)
+        return estate, {"obs": obs * self.mask, "states": obs}
+
+    def step(self, estate, action, key):
+        estate, obs, reward, terminated, info = self.inner.step(
+            estate, action, key
+        )
+        return (
+            estate,
+            {"obs": obs * self.mask, "states": obs},
+            reward,
+            terminated,
+            info,
+        )

@@ -1,0 +1,92 @@
+"""Environment registries.
+
+Mirrors the reference's two-level registry design
+(env_configurations.py:363-371 + vecenv.py:368-417): env-name → creator
+returning a vec env, and vecenv-type → constructor. The device path ('JAX')
+returns a JaxVecEnv; the host path ('GYMNASIUM') wraps gymnasium vector envs.
+"""
+
+from typing import Any, Callable, Dict
+
+from rl_games_tpu.envs.jax.base import JaxVecEnv
+from rl_games_tpu.envs.jax import classic
+
+ENV_CONFIGURATIONS: Dict[str, dict] = {}
+VECENV_TYPES: Dict[str, Callable] = {}
+
+
+def register(name: str, config: dict):
+    """env_configurations.register (:363-371): {'vecenv_type', 'env_creator'}."""
+    ENV_CONFIGURATIONS[name] = config
+
+
+def register_vecenv_type(name: str, func: Callable):
+    """vecenv.register (:368-374)."""
+    VECENV_TYPES[name] = func
+
+
+def create_vec_env(env_name: str, num_actors: int, **kwargs):
+    """vecenv.create_vec_env (:379-391)."""
+    cfg = ENV_CONFIGURATIONS[env_name]
+    vecenv_type = cfg.get("vecenv_type", "JAX")
+    return VECENV_TYPES[vecenv_type](cfg, num_actors, **kwargs)
+
+
+def get_env_info(env) -> dict:
+    """env_configurations.get_env_info (:333-352) equivalent."""
+    info = env.get_env_info()
+    return {
+        "observation_space": info.observation_space,
+        "action_space": info.action_space,
+        "state_space": info.state_space,
+        "agents": info.agents,
+        "value_size": info.value_size,
+    }
+
+
+def _create_jax_vecenv(cfg, num_actors, **kwargs):
+    env = cfg["env_creator"](**{**cfg.get("env_config", {}), **kwargs})
+    return JaxVecEnv(
+        env, num_actors, max_episode_steps=cfg.get("max_episode_steps")
+    )
+
+
+def _create_gymnasium_vecenv(cfg, num_actors, **kwargs):
+    from rl_games_tpu.envs.host.gymnasium_env import GymnasiumVecEnv
+
+    return GymnasiumVecEnv(
+        cfg["env_id"], num_actors, **{**cfg.get("env_config", {}), **kwargs}
+    )
+
+
+register_vecenv_type("JAX", _create_jax_vecenv)
+register_vecenv_type("GYMNASIUM", _create_gymnasium_vecenv)
+
+# --- built-in device-resident envs (the analog of env_configurations.py's
+# built-in table) ---
+
+register("CartPole-v1", {"vecenv_type": "JAX", "env_creator": classic.CartPole})
+register("Pendulum-v1", {"vecenv_type": "JAX", "env_creator": classic.Pendulum})
+register(
+    "MountainCarContinuous-v0",
+    {"vecenv_type": "JAX", "env_creator": classic.MountainCarContinuous},
+)
+
+
+def register_test_envs():
+    from rl_games_tpu.envs.jax import test_envs
+
+    register(
+        "test_rnn_env",
+        {"vecenv_type": "JAX", "env_creator": test_envs.MemoryEnv},
+    )
+    register(
+        "test_asymmetric_env",
+        {"vecenv_type": "JAX", "env_creator": test_envs.AsymmetricEnv},
+    )
+
+
+try:  # keep test envs always available, like rl_games.envs.test
+    register_test_envs()
+except ImportError:
+    pass

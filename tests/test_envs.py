@@ -1,0 +1,111 @@
+"""Device-resident env tests: dynamics vs gymnasium, autoreset, time_outs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.envs.jax.base import JaxVecEnv
+from rl_games_tpu.envs.jax.classic import CartPole, Pendulum
+from rl_games_tpu.envs.jax.test_envs import MemoryEnv, AsymmetricEnv
+from rl_games_tpu.envs.registry import create_vec_env, ENV_CONFIGURATIONS
+
+
+def test_cartpole_matches_gymnasium():
+    gymnasium = pytest.importorskip("gymnasium")
+    genv = gymnasium.make("CartPole-v1")
+    genv.reset(seed=0)
+    # force a known state
+    state = np.asarray([0.01, -0.02, 0.03, 0.04], np.float32)
+    genv.unwrapped.state = state
+
+    jenv = CartPole()
+    from rl_games_tpu.envs.jax.classic import ArrayState
+
+    estate = ArrayState(x=jnp.asarray(state))
+    for action in [0, 1, 1, 0, 1]:
+        gobs, grew, gterm, gtrunc, _ = genv.step(action)
+        estate, jobs, jrew, jterm, _ = jenv.step(
+            estate, jnp.int32(action), jax.random.PRNGKey(0)
+        )
+        np.testing.assert_allclose(np.asarray(jobs), gobs, rtol=1e-4, atol=1e-5)
+        assert float(jrew) == grew
+        assert bool(jterm) == gterm
+
+
+def test_pendulum_matches_gymnasium():
+    gymnasium = pytest.importorskip("gymnasium")
+    genv = gymnasium.make("Pendulum-v1")
+    genv.reset(seed=0)
+    genv.unwrapped.state = np.asarray([0.3, -0.5])
+
+    jenv = Pendulum()
+    from rl_games_tpu.envs.jax.classic import ArrayState
+
+    estate = ArrayState(x=jnp.asarray([0.3, -0.5], jnp.float32))
+    for u in [0.5, -1.0, 2.0]:
+        gobs, grew, *_ = genv.step(np.asarray([u], np.float32))
+        estate, jobs, jrew, *_ = jenv.step(
+            estate, jnp.asarray([u]), jax.random.PRNGKey(0)
+        )
+        np.testing.assert_allclose(np.asarray(jobs), gobs, rtol=1e-4, atol=1e-5)
+        assert float(jrew) == pytest.approx(float(grew), rel=1e-4)
+
+
+def test_vecenv_autoreset_and_timeouts():
+    env = JaxVecEnv(Pendulum(), num_envs=4, max_episode_steps=5)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 3)
+    for t in range(4):
+        state, obs, rew, done, info = env.step(state, jnp.zeros((4, 1)))
+        assert not bool(done.any())
+    state, obs, rew, done, info = env.step(state, jnp.zeros((4, 1)))
+    assert bool(done.all())
+    assert bool(info["time_outs"].all())  # truncation, not termination
+    # steps reset → next step is not done
+    state, obs, rew, done, info = env.step(state, jnp.zeros((4, 1)))
+    assert not bool(done.any())
+
+
+def test_vecenv_step_is_jittable_and_scannable():
+    env = JaxVecEnv(CartPole(), num_envs=8)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+
+    def roll(state, _):
+        actions = jnp.zeros(8, jnp.int32)
+        state, obs, rew, done, info = env.step(state, actions)
+        return state, (rew, done)
+
+    final, (rews, dones) = jax.jit(
+        lambda s: jax.lax.scan(roll, s, None, length=30)
+    )(state)
+    assert rews.shape == (30, 8)
+    # pushing left constantly must terminate within 30 steps and autoreset
+    assert bool(dones.any())
+
+
+def test_memory_env_reachable():
+    env = JaxVecEnv(MemoryEnv(max_steps=21), num_envs=2)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 6)
+    # on reset the goal is visible
+    assert np.all(np.abs(np.asarray(obs[:, 2:4])).sum(-1) > 0)
+    state, obs, rew, done, info = env.step(state, jnp.zeros(2, jnp.int32))
+    # after first step the goal is hidden
+    np.testing.assert_allclose(np.asarray(obs[:, 2:4]), 0.0)
+
+
+def test_asymmetric_env_dict_obs():
+    env = JaxVecEnv(AsymmetricEnv(), num_envs=3)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert set(obs.keys()) == {"obs", "states"}
+    np.testing.assert_allclose(np.asarray(obs["obs"][:, 1]), 0.0)  # vel masked
+    state, obs, rew, done, info = env.step(state, jnp.zeros(3, jnp.int32))
+    assert obs["states"].shape == (3, 4)
+
+
+def test_registry():
+    assert "CartPole-v1" in ENV_CONFIGURATIONS
+    env = create_vec_env("Pendulum-v1", 6)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (6, 3)
