@@ -1,0 +1,593 @@
+"""PPO on TPU: the whole epoch is one compiled SPMD program.
+
+The reference's host-driven epoch (a2c_common.py: play_steps :787-850 +
+train_epoch :1241-1307) becomes a single jitted function over an immutable
+train-state pytree:
+
+    rollout  = lax.scan(policy_step ∘ env_step, carry, horizon)   # on device
+    gae      = ops.gae.compute_gae (Pallas kernel on TPU)
+    updates  = fori(mini_epochs) { scan(minibatches) { grad step } }
+
+Functional equivalents preserved for learning-curve parity (SURVEY.md §7):
+exact loss family (a2c_continuous.py:97-133), value-bootstrap-at-timeout
+reward patch (a2c_common.py:813-814), RunningMeanStd semantics incl. the
+value-normalizer update-from-values + freeze (a2c_common.py:1325-1332),
+advantage normalization (:1334-1349), adaptive-KL LR with 'legacy'
+(per-minibatch, incl. mu/sigma writeback a2c_common.py:1280) and 'standard'
+(per-miniepoch) schedule types, episode reward/length meters
+(torch_ext.AverageMeter :319-345), and the epoch/frame bookkeeping.
+
+Data parallelism: `make_train_fn(mesh)` jits the same program with the env
+axis sharded over 'data' and params replicated — XLA inserts the gradient
+all-reduce the reference does by hand (a2c_common.py:362-378).
+"""
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from rl_games_tpu.common.tr_helpers import (
+    build_reward_shaper,
+    rescale_actions,
+    swap_and_flatten01,
+)
+from rl_games_tpu.envs import registry as env_registry
+from rl_games_tpu.envs.spaces import Box, actions_num_of, obs_shape_of
+from rl_games_tpu.models import model_builder, models as M
+from rl_games_tpu.ops import losses as L
+from rl_games_tpu.ops import masked as MK
+from rl_games_tpu.ops.gae import compute_gae
+from rl_games_tpu.ops.running_stats import moving_init, moving_normalize, moving_update
+from rl_games_tpu.ops.schedulers import build_scheduler
+
+
+# ---------------------------------------------------------------------------
+# Functional AverageMeter (torch_ext.py:319-345): ring mean over the last
+# `games_to_track` completed episodes.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Meters:
+    buf: jnp.ndarray  # [capacity, width]
+    ptr: jnp.ndarray  # () int32
+    count: jnp.ndarray  # () int32 — total filled, clamped to capacity
+
+
+def meters_init(capacity: int, width: int) -> Meters:
+    return Meters(
+        buf=jnp.zeros((capacity, width), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def meters_update(m: Meters, values: jnp.ndarray, mask: jnp.ndarray) -> Meters:
+    """Scatter completed-episode rows (mask=True) into the ring buffer."""
+    cap = m.buf.shape[0]
+    mask_i = mask.astype(jnp.int32)
+    slot = jnp.cumsum(mask_i) - 1  # position among done rows
+    pos = (m.ptr + slot) % cap
+    pos = jnp.where(mask, pos, cap)  # out-of-range rows are dropped
+    buf = m.buf.at[pos].set(values.astype(jnp.float32), mode="drop")
+    n = mask_i.sum()
+    return Meters(
+        buf=buf, ptr=(m.ptr + n) % cap, count=jnp.minimum(m.count + n, cap)
+    )
+
+
+def meters_mean(m: Meters) -> jnp.ndarray:
+    cap = m.buf.shape[0]
+    idx = jnp.arange(cap)[:, None]
+    valid = (idx < m.count).astype(jnp.float32)
+    total = jnp.maximum(m.count.astype(jnp.float32), 1.0)
+    return (m.buf * valid).sum(0) / total
+
+
+# ---------------------------------------------------------------------------
+# Train state
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PPOTrainState:
+    params: Any
+    opt_state: Any
+    norm: M.NormState
+    adv_rms: Any  # MovingMeanStdState | None
+    lr: jnp.ndarray
+    entropy_coef: jnp.ndarray
+    epoch: jnp.ndarray  # () int32
+    frame: jnp.ndarray  # () int32
+    rng: jax.Array
+    env_state: Any
+    obs: Any
+    dones: jnp.ndarray  # [N] float32 — dones entering the next step
+    current_rewards: jnp.ndarray  # [N, value_size]
+    current_shaped_rewards: jnp.ndarray
+    current_lengths: jnp.ndarray  # [N]
+    game_rewards: Meters
+    game_shaped_rewards: Meters
+    game_lengths: Meters
+
+
+class PPOAgent:
+    """PPO trainer (continuous + discrete/multi-discrete) over device envs.
+
+    `params` is the reference YAML `params:` dict (algo/model/network/config).
+    An already-built vec env may be injected via `vec_env` (the fake-env
+    testing seam, sac_agent.py:166-171 / a2c_common.py:131-136 analog).
+    """
+
+    def __init__(self, base_name: str, params: dict, vec_env=None):
+        self.base_name = base_name
+        self.full_params = params
+        config = params["config"]
+        self.config = config
+
+        # --- env ----------------------------------------------------------
+        self.num_actors = config["num_actors"]
+        if vec_env is not None:
+            self.vec_env = vec_env
+        else:
+            self.vec_env = env_registry.create_vec_env(
+                config["env_name"], self.num_actors,
+                **config.get("env_config", {})
+            )
+        info = self.vec_env.get_env_info()
+        self.env_info = info
+        self.value_size = info.value_size
+        self.num_agents = info.agents
+        self.observation_space = info.observation_space
+        self.action_space = info.action_space
+        self.obs_shape = obs_shape_of(info.observation_space)
+        self.actions_num = actions_num_of(info.action_space)
+
+        self.is_continuous = isinstance(info.action_space, Box)
+
+        # --- config (a2c_common.py:137-330) -------------------------------
+        self.horizon_length = config["horizon_length"]
+        self.seq_length = config.get("seq_length", 4)
+        self.batch_size = self.horizon_length * self.num_actors * self.num_agents
+        if "minibatch_size" not in config and "minibatch_size_per_env" not in config:
+            raise ValueError(
+                "Config must include 'minibatch_size' or 'minibatch_size_per_env'"
+            )
+        self.minibatch_size = config.get(
+            "minibatch_size",
+            self.num_actors * config.get("minibatch_size_per_env", 0),
+        )
+        if self.minibatch_size <= 0:
+            raise ValueError("'minibatch_size' must be > 0")
+        if self.batch_size % self.minibatch_size != 0:
+            raise ValueError(
+                f"batch_size ({self.batch_size}) must be divisible by "
+                f"minibatch_size ({self.minibatch_size})"
+            )
+        self.num_minibatches = self.batch_size // self.minibatch_size
+        self.mini_epochs_num = config["mini_epochs"]
+
+        self.e_clip = config["e_clip"]
+        self.clip_value = config["clip_value"]
+        self.gamma = config["gamma"]
+        self.tau = config["tau"]
+        self.ppo = config.get("ppo", True)
+        self.critic_coef = config["critic_coef"]
+        self.entropy_coef_init = config["entropy_coef"]
+        self.bounds_loss_coef = config.get("bounds_loss_coef", None)
+        self.grad_norm = config["grad_norm"]
+        self.truncate_grads = config.get("truncate_grads", False)
+        self.normalize_advantage = config["normalize_advantage"]
+        self.normalize_rms_advantage = config.get("normalize_rms_advantage", False)
+        self.normalize_input = config["normalize_input"]
+        self.normalize_value = config.get("normalize_value", False)
+        self.freeze_critic = config.get("freeze_critic", False)
+        self.value_bootstrap = config.get("value_bootstrap", False)
+        self.weight_decay = config.get("weight_decay", 0.0)
+        self.learning_rate = float(config["learning_rate"])
+        self.schedule_type = config.get("schedule_type", "legacy")
+        self.max_epochs = config.get("max_epochs", -1)
+        self.max_frames = max(config.get("max_frames", -1), config.get("max_steps", -1))
+        self.games_to_track = config.get("games_to_track", 100)
+        self.clip_actions = config.get("clip_actions", True)
+        self.save_freq = config.get("save_frequency", 0)
+        self.save_best_after = config.get("save_best_after", 100)
+        self.score_to_win = config.get("score_to_win", None)
+        self.seed = config.get("seed", 7)
+
+        self.scheduler = build_scheduler(
+            {**config, "max_epochs": self.max_epochs if self.max_epochs > 0 else
+             config.get("max_epochs", 1000000)},
+            self.learning_rate,
+        )
+        self.rewards_shaper = build_reward_shaper(config)
+
+        # --- model --------------------------------------------------------
+        builder = model_builder.ModelBuilder()
+        self.model = builder.load(
+            params,
+            actions_num=self.actions_num,
+            input_shape=self.obs_shape if not isinstance(self.obs_shape, dict)
+            else self.obs_shape["obs"],
+            value_size=self.value_size,
+            normalize_input=self.normalize_input,
+            normalize_value=self.normalize_value,
+            obs_shape=self.obs_shape,
+        )
+
+        # --- optimizer (torch fused Adam analog: clip → wd → adam; the lr
+        # lives in the train state so schedulers can run inside jit) --------
+        chain = []
+        if self.truncate_grads:
+            chain.append(optax.clip_by_global_norm(self.grad_norm))
+        if self.weight_decay > 0:
+            chain.append(optax.add_decayed_weights(self.weight_decay))
+        chain.append(optax.scale_by_adam(eps=1e-8))
+        chain.append(optax.scale(-1.0))
+        self.tx = optax.chain(*chain)
+
+        self._train_epoch_jit = None
+
+    # ------------------------------------------------------------------
+    # state construction
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> PPOTrainState:
+        seed = self.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        rng, env_key, model_key = jax.random.split(rng, 3)
+        env_state, obs = self.vec_env.reset(env_key)
+        example_obs = obs["obs"] if isinstance(obs, dict) else obs
+        params, norm = self.model.init(model_key, example_obs)
+        opt_state = self.tx.init(params)
+        n = self.num_actors * self.num_agents
+        v = self.value_size
+        adv_rms = moving_init(()) if self.normalize_rms_advantage else None
+        state = PPOTrainState(
+            params=params,
+            opt_state=opt_state,
+            norm=norm,
+            adv_rms=adv_rms,
+            lr=jnp.asarray(self.learning_rate, jnp.float32),
+            entropy_coef=jnp.asarray(self.entropy_coef_init, jnp.float32),
+            epoch=jnp.zeros((), jnp.int32),
+            frame=jnp.zeros((), jnp.int32),
+            rng=rng,
+            env_state=env_state,
+            obs=obs,
+            dones=jnp.ones(n, jnp.float32),  # a2c_common: initial dones = ones
+            current_rewards=jnp.zeros((n, v), jnp.float32),
+            current_shaped_rewards=jnp.zeros((n, v), jnp.float32),
+            current_lengths=jnp.zeros(n, jnp.float32),
+            game_rewards=meters_init(self.games_to_track, v),
+            game_shaped_rewards=meters_init(self.games_to_track, v),
+            game_lengths=meters_init(self.games_to_track, 1),
+        )
+        # distinct buffers per leaf — XLA dedupes equal constants, and an
+        # aliased pair would break jit donation ("donate the same buffer
+        # twice")
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+
+    # ------------------------------------------------------------------
+    # pieces of the epoch program
+    # ------------------------------------------------------------------
+    def _actor_obs(self, obs):
+        return obs["obs"] if isinstance(obs, dict) else obs
+
+    def _env_actions(self, actions):
+        """Clip/rescale continuous actions for the env (a2c_common:1224-1234)."""
+        if not self.is_continuous:
+            return actions
+        space = self.action_space
+        a = jnp.clip(actions, -1.0, 1.0) if self.clip_actions else actions
+        low = jnp.asarray(space.low, jnp.float32)
+        high = jnp.asarray(space.high, jnp.float32)
+        if np.all(np.isfinite([space.low, space.high])):
+            return rescale_actions(low, high, a)
+        return a
+
+    def _rollout(self, state: PPOTrainState):
+        """lax.scan over horizon (play_steps, a2c_common.py:787-850)."""
+        params, norm = state.params, state.norm
+
+        def step(carry, _):
+            (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
+             m_r, m_sr, m_len) = carry
+            rng, akey = jax.random.split(rng)
+            res = self.model.forward_play(
+                params, norm, akey, self._actor_obs(obs)
+            )
+            env_state2, next_obs, rewards, new_dones, infos = self.vec_env.step(
+                env_state, self._env_actions(res["actions"])
+            )
+            if rewards.ndim == 1:
+                rewards = rewards[:, None]
+            rewards = rewards.astype(jnp.float32)
+            shaped = self.rewards_shaper(rewards)
+            values = res["values"]
+            if self.value_bootstrap:
+                shaped = shaped + self.gamma * values * infos[
+                    "time_outs"
+                ].astype(jnp.float32)[:, None]
+
+            # episode accounting (a2c_common.py:820-834)
+            cur_r = cur_r + rewards
+            cur_sr = cur_sr + shaped
+            cur_len = cur_len + 1.0
+            done_mask = new_dones.astype(bool)
+            m_r = meters_update(m_r, cur_r, done_mask)
+            m_sr = meters_update(m_sr, cur_sr, done_mask)
+            m_len = meters_update(m_len, cur_len[:, None], done_mask)
+            not_done = 1.0 - new_dones.astype(jnp.float32)
+            cur_r = cur_r * not_done[:, None]
+            cur_sr = cur_sr * not_done[:, None]
+            cur_len = cur_len * not_done
+
+            out = {
+                "obses": obs,
+                "dones": dones,
+                "actions": res["actions"],
+                "values": values,
+                "neglogpacs": res["neglogpacs"],
+                "rewards": shaped,
+            }
+            if self.is_continuous:
+                out["mus"] = res["mus"]
+                out["sigmas"] = res["sigmas"]
+            carry = (
+                env_state2, next_obs, new_dones.astype(jnp.float32), rng,
+                cur_r, cur_sr, cur_len, m_r, m_sr, m_len,
+            )
+            return carry, out
+
+        carry0 = (
+            state.env_state, state.obs, state.dones, state.rng,
+            state.current_rewards, state.current_shaped_rewards,
+            state.current_lengths, state.game_rewards,
+            state.game_shaped_rewards, state.game_lengths,
+        )
+        carry, traj = jax.lax.scan(step, carry0, None, length=self.horizon_length)
+        (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
+         m_r, m_sr, m_len) = carry
+
+        # bootstrap values for the final obs (get_values, a2c_common:474-483)
+        rng, vkey = jax.random.split(rng)
+        last_values = self.model.forward_play(
+            params, norm, vkey, self._actor_obs(obs)
+        )["values"]
+
+        state = state.replace(
+            env_state=env_state, obs=obs, dones=dones, rng=rng,
+            current_rewards=cur_r, current_shaped_rewards=cur_sr,
+            current_lengths=cur_len, game_rewards=m_r,
+            game_shaped_rewards=m_sr, game_lengths=m_len,
+        )
+        return state, traj, last_values
+
+    def _prepare_dataset(self, state: PPOTrainState, traj, last_values):
+        """GAE + dataset assembly (a2c_common.py:836-849, 1309-1370)."""
+        mb_values = traj["values"]  # [T, N, V] (denormalized)
+        mb_rewards = traj["rewards"]
+        mb_dones = traj["dones"]  # [T, N] dones entering step t
+        fdones = state.dones
+
+        mb_advs = compute_gae(
+            mb_rewards, mb_values, mb_dones, last_values, fdones,
+            self.gamma, self.tau,
+        )
+        mb_returns = mb_advs + mb_values
+
+        dataset = {
+            k: jax.tree.map(swap_and_flatten01, v) for k, v in traj.items()
+        }
+        returns = swap_and_flatten01(mb_returns)
+        values = dataset.pop("values")
+        advantages = returns - values  # [B, V]
+
+        norm = state.norm
+        if self.normalize_input:
+            norm = M.update_obs_stats(norm, dataset["obses"])
+        if self.normalize_value:
+            if not self.freeze_critic:
+                norm = M.update_value_stats(norm, values)
+            values = M.normalize_values(norm, values)
+            returns = M.normalize_values(norm, returns)
+
+        advantages = advantages.sum(axis=1)  # [B] (a2c_common:1334)
+        adv_rms = state.adv_rms
+        if self.normalize_advantage:
+            if self.normalize_rms_advantage:
+                adv_rms = moving_update(adv_rms, advantages)
+                advantages = moving_normalize(adv_rms, advantages)
+            else:
+                advantages = L.normalize_advantage(advantages)
+
+        dataset["old_values"] = values
+        dataset["returns"] = returns
+        dataset["advantages"] = advantages
+        dataset["old_logp_actions"] = dataset.pop("neglogpacs")
+        state = state.replace(norm=norm, adv_rms=adv_rms)
+        return state, dataset
+
+    def _loss_and_kl(self, params, norm, mb, entropy_coef):
+        """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
+        res = self.model.forward_train(
+            params, norm, self._actor_obs(mb["obses"]), mb["actions"]
+        )
+        a_loss = L.actor_loss(
+            mb["old_logp_actions"], res["prev_neglogp"], mb["advantages"],
+            self.ppo, self.e_clip,
+        )
+        c_loss = L.critic_loss(
+            mb["old_values"], res["values"], self.e_clip, mb["returns"],
+            self.clip_value,
+        )
+        entropy = res["entropy"]
+        if self.is_continuous and self.bounds_loss_coef is not None:
+            b_loss = L.bound_loss(res["mus"])
+        else:
+            b_loss = jnp.zeros_like(a_loss)
+        a_loss_m = a_loss.mean()
+        c_loss_m = c_loss.mean()
+        entropy_m = entropy.mean()
+        b_loss_m = b_loss.mean()
+        bounds_coef = self.bounds_loss_coef or 0.0
+        total = (
+            a_loss_m
+            + 0.5 * self.critic_coef * c_loss_m
+            - entropy_coef * entropy_m
+            + bounds_coef * b_loss_m
+        )
+        if self.is_continuous:
+            kl = self.model.kl(
+                res["mus"], res["sigmas"], mb["mus"], mb["sigmas"]
+            ).mean()
+        else:
+            kl = (
+                0.5
+                * jnp.square(mb["old_logp_actions"] - res["prev_neglogp"]).mean()
+            )
+        clip_frac = MK.policy_clip_fraction(
+            res["prev_neglogp"], mb["old_logp_actions"], self.e_clip
+        )
+        aux = {
+            "a_loss": a_loss_m,
+            "c_loss": c_loss_m,
+            "entropy": entropy_m,
+            "b_loss": b_loss_m,
+            "kl": kl,
+            "clip_frac": clip_frac,
+        }
+        if self.is_continuous:
+            aux["mus"] = res["mus"]
+            aux["sigmas"] = res["sigmas"]
+        return total, aux
+
+    def _update(self, state: PPOTrainState, dataset):
+        """Minibatch epochs (train_epoch, a2c_common.py:1269-1302)."""
+        legacy = self.schedule_type == "legacy"
+
+        def minibatch_step(carry, idx):
+            params, opt_state, ds, lr, ec = carry
+            mb = jax.tree.map(lambda x: x[idx], ds)
+
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_and_kl(p, state.norm, mb, ec),
+                has_aux=True,
+            )
+            (_, aux), grads = grad_fn(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+
+            if self.is_continuous and legacy:
+                # mu/sigma writeback for 'legacy' (datasets.py:33-43)
+                ds = {
+                    **ds,
+                    "mus": ds["mus"].at[idx].set(aux["mus"]),
+                    "sigmas": ds["sigmas"].at[idx].set(aux["sigmas"]),
+                }
+            if legacy:
+                lr, ec = self.scheduler.update(
+                    lr, ec, state.epoch, state.frame, aux["kl"]
+                )
+            metrics = {
+                k: aux[k]
+                for k in ("a_loss", "c_loss", "entropy", "b_loss", "kl",
+                          "clip_frac")
+            }
+            return (params, opt_state, ds, lr, ec), metrics
+
+        def mini_epoch(ep, carry):
+            params, opt_state, ds, lr, ec, rng, metrics_acc = carry
+            rng, pkey = jax.random.split(rng)
+            perm = jax.random.permutation(pkey, self.batch_size)
+            idxs = perm.reshape(self.num_minibatches, self.minibatch_size)
+            (params, opt_state, ds, lr, ec), ms = jax.lax.scan(
+                minibatch_step, (params, opt_state, ds, lr, ec), idxs
+            )
+            ep_kl = ms["kl"].mean()
+            if not legacy:
+                lr, ec = self.scheduler.update(
+                    lr, ec, state.epoch, state.frame, ep_kl
+                )
+            metrics_acc = jax.tree.map(
+                lambda acc, m: acc + m.mean() / self.mini_epochs_num,
+                metrics_acc,
+                ms,
+            )
+            return (params, opt_state, ds, lr, ec, rng, metrics_acc)
+
+        metrics0 = {
+            k: jnp.zeros((), jnp.float32)
+            for k in ("a_loss", "c_loss", "entropy", "b_loss", "kl", "clip_frac")
+        }
+        carry = (
+            state.params, state.opt_state, dataset, state.lr,
+            state.entropy_coef, state.rng, metrics0,
+        )
+        params, opt_state, dataset, lr, ec, rng, metrics = jax.lax.fori_loop(
+            0, self.mini_epochs_num, mini_epoch, carry
+        )
+        state = state.replace(
+            params=params, opt_state=opt_state, lr=lr, entropy_coef=ec, rng=rng
+        )
+        return state, metrics
+
+    def train_epoch(self, state: PPOTrainState):
+        """One full PPO epoch: rollout → GAE → minibatch updates."""
+        state, traj, last_values = self._rollout(state)
+        state, dataset = self._prepare_dataset(state, traj, last_values)
+        state, metrics = self._update(state, dataset)
+        state = state.replace(
+            epoch=state.epoch + 1,
+            frame=state.frame + self.batch_size,
+        )
+        metrics = dict(metrics)
+        metrics["lr"] = state.lr
+        metrics["entropy_coef"] = state.entropy_coef
+        metrics["mean_rewards"] = meters_mean(state.game_rewards)
+        metrics["mean_shaped_rewards"] = meters_mean(state.game_shaped_rewards)
+        metrics["mean_lengths"] = meters_mean(state.game_lengths)[0]
+        metrics["games_played"] = state.game_rewards.count
+        metrics["frame"] = state.frame
+        metrics["epoch"] = state.epoch
+        return state, metrics
+
+    # ------------------------------------------------------------------
+    # compiled entry points
+    # ------------------------------------------------------------------
+    def make_train_fn(self, mesh=None, donate: bool = True):
+        """jit the epoch; with a mesh, shard the env axis over 'data'.
+
+        Under a mesh this is the TPU answer to the reference's DDP setup
+        (torchrun env vars + manual flat-bucket grad all-reduce,
+        a2c_common.py:362-378): the batch axis is sharded, params are
+        replicated, and XLA inserts the gradient psum over ICI.
+        """
+        donate_args = (0,) if donate else ()
+        if mesh is None:
+            return jax.jit(self.train_epoch, donate_argnums=donate_args)
+
+        from rl_games_tpu.parallel.mesh import ppo_state_shardings
+
+        cache = {}
+
+        def wrapper(state):
+            if "fn" not in cache:
+                shardings = ppo_state_shardings(state, mesh)
+                cache["fn"] = jax.jit(
+                    self.train_epoch,
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, None),
+                    donate_argnums=donate_args,
+                )
+                cache["shardings"] = shardings
+                state = jax.device_put(state, shardings)
+            return cache["fn"](state)
+
+        return wrapper

@@ -98,21 +98,23 @@ def _gae_pallas_kernel(rew_ref, val_ref, nnt_ref, lastval_ref, adv_ref, *, gamma
     """In-kernel backward sweep over the horizon for one 2D column block.
 
     Block shapes: rew/val/nnt/adv = [T, BN] (VMEM); lastval = [1, BN].
-    Carry = (lastgaelam, next_value) row vectors, walked from t=T-1 down to 0.
+    Carry = (lastgaelam, next_value) kept as (1, BN) 2D rows — Mosaic
+    requires >=2D vector layouts, 1D row vectors fail layout assignment.
     """
     T = rew_ref.shape[0]
 
     def body(i, carry):
         lastgaelam, next_val = carry
         t = T - 1 - i
-        nnt_t = nnt_ref[t, :]
-        delta = rew_ref[t, :] + gamma * next_val * nnt_t - val_ref[t, :]
+        nnt_t = nnt_ref[pl.ds(t, 1), :]
+        val_t = val_ref[pl.ds(t, 1), :]
+        delta = rew_ref[pl.ds(t, 1), :] + gamma * next_val * nnt_t - val_t
         lastgaelam = delta + gamma * lam * nnt_t * lastgaelam
-        adv_ref[t, :] = lastgaelam
-        return lastgaelam, val_ref[t, :]
+        adv_ref[pl.ds(t, 1), :] = lastgaelam
+        return lastgaelam, val_t
 
-    zero = jnp.zeros_like(lastval_ref[0, :])
-    jax.lax.fori_loop(0, T, body, (zero, lastval_ref[0, :]))
+    zero = jnp.zeros_like(lastval_ref[:, :])
+    jax.lax.fori_loop(0, T, body, (zero, lastval_ref[:, :]))
 
 
 def _round_up(x, m):

@@ -1,0 +1,64 @@
+"""Device-mesh utilities: the framework's answer to the reference's NCCL layer.
+
+The reference wires torch.distributed by hand at three sites (SURVEY.md §2.6:
+init a2c_common.py:109, grad allreduce :362-378, scalar broadcast :433-441).
+Here one SPMD program runs on a `jax.sharding.Mesh`: env-batch leaves carry
+PartitionSpec('data'), params/optimizer/normalizer stats are replicated, and
+XLA emits the psum over ICI for gradients while replicated scalars need no
+broadcast at all. The mesh keeps a second, currently-unused 'model' axis name
+reserved so a future tensor-parallel axis composes without renaming.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import tree_map_with_path
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+# fields of PPOTrainState whose leading axis is the env axis
+_PPO_DATA_FIELDS = (
+    "env_state",
+    "obs",
+    "dones",
+    "current_rewards",
+    "current_shaped_rewards",
+    "current_lengths",
+)
+
+
+def _path_has(path, name: str) -> bool:
+    return any(getattr(p, "name", None) == name for p in path)
+
+
+def ppo_state_shardings(state, mesh: Mesh):
+    """Build a sharding pytree for a PPOTrainState: env axis → P('data'),
+    everything else (params, opt state, normalizers, meters, scalars)
+    replicated."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def pick(path, leaf):
+        top = getattr(path[0], "name", None)
+        if top in _PPO_DATA_FIELDS:
+            # the vec-env's PRNG key and any scalar bookkeeping stay replicated
+            if _path_has(path, "key") or np.ndim(leaf) == 0:
+                return repl
+            return data
+        return repl
+
+    return tree_map_with_path(pick, state)
+
+
+def replicated_shardings(tree, mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda _: repl, tree)
