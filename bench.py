@@ -1,0 +1,66 @@
+"""Benchmark: PPO training throughput (env-steps/s) on one chip.
+
+Runs the full fused training epoch (rollout scan + Pallas GAE + minibatch
+updates, all on device) on an Ant-class workload: 4096 device-resident JAX
+envs, horizon 16, [256,128,64] MLP actor-critic. Prints ONE JSON line.
+
+Baseline: the reference's PPO Brax Ant step throughput, 1,692,066 env-steps/s
+on GPU (docs/BRAX.md:20; BASELINE.md). The env here is the pure-JAX Pendulum
+(no Brax/MJX in the image), so physics cost is lower than Ant — the number is
+a framework-throughput proxy until an on-device rigid-body env lands.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_FPS = 1_692_066.0  # reference Brax Ant step fps (docs/BRAX.md:20)
+
+
+def main():
+    from rl_games_tpu.algos.ppo import PPOAgent
+    from __graft_entry__ import _flagship_params
+
+    num_actors = 4096
+    params = _flagship_params(num_actors=num_actors)
+    params["config"]["minibatch_size"] = num_actors * 16 // 4
+    params["config"]["mini_epochs"] = 4
+
+    agent = PPOAgent("bench", params)
+    state = agent.init_state()
+    train_fn = agent.make_train_fn()
+
+    # warmup / compile
+    state, metrics = train_fn(state)
+    float(metrics["a_loss"])
+
+    # NOTE: timing uses an explicit host readback (float(...)) each epoch —
+    # under the remote-TPU relay, block_until_ready can return before the
+    # computation actually finished; a scalar D2H transfer cannot.
+    n_epochs = 20
+    frames_per_epoch = agent.batch_size
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        state, metrics = train_fn(state)
+        float(metrics["a_loss"])
+    dt = time.perf_counter() - t0
+
+    fps = n_epochs * frames_per_epoch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_env_steps_per_s_per_chip",
+                "value": round(fps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
