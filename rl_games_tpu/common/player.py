@@ -137,4 +137,110 @@ class PpoPlayer(BasePlayer):
 
 
 class SACPlayer(BasePlayer):
-    pass
+    """SAC evaluation (players.py SACPlayer): deterministic action =
+    tanh(mu) rescaled to env bounds."""
+
+    def __init__(self, params, vec_env=None):
+        from rl_games_tpu.models.sac import build_sac_networks
+        from rl_games_tpu.ops.running_stats import rms_init
+
+        self.params = params
+        config = params["config"]
+        self.config = config
+        player_cfg = config.get("player", {}) or {}
+        self.player_cfg = player_cfg
+        self.num_actors = player_cfg.get("num_actors", config.get("num_actors", 16))
+        self.games_num = player_cfg.get("games_num", 200)
+        self.max_steps = player_cfg.get("max_steps", 27000)
+        self.deterministic = player_cfg.get("deterministic", True)
+        self.seed = config.get("seed", 7)
+
+        if vec_env is not None:
+            self.vec_env = vec_env
+        else:
+            self.vec_env = env_registry.create_vec_env(
+                config["env_name"], self.num_actors,
+                **config.get("env_config", {})
+            )
+        info = self.vec_env.get_env_info()
+        self.env_info = info
+        self.value_size = info.value_size
+        self.obs_shape = obs_shape_of(info.observation_space)
+        self.action_dim = info.action_space.shape[0]
+        self.is_continuous = True
+        space = info.action_space
+        self.action_scale = (np.asarray(space.high) - np.asarray(space.low)) / 2.0
+        self.action_bias = (np.asarray(space.high) + np.asarray(space.low)) / 2.0
+
+        self.actor, _ = build_sac_networks(params["network"], self.action_dim)
+        rng = jax.random.PRNGKey(self.seed)
+        _, obs = self.vec_env.reset(rng)
+        example = obs["obs"] if isinstance(obs, dict) else obs
+        self.actor_params = self.actor.init(rng, example)
+        self.obs_rms = (
+            rms_init(self.obs_shape)
+            if config.get("normalize_input", False)
+            else None
+        )
+
+    def restore(self, checkpoint_path: str):
+        example = {
+            "actor_params": self.actor_params,
+            "critic_params": None,
+            "obs_rms": self.obs_rms,
+        }
+        payload, _ = ckpt.load_checkpoint_weights(checkpoint_path, example)
+        self.actor_params = payload["actor_params"]
+        self.obs_rms = payload["obs_rms"]
+
+    def run(self, games_num: Optional[int] = None, **_):
+        from rl_games_tpu.models.sac import SACActor
+        from rl_games_tpu.ops.running_stats import rms_normalize
+
+        games_num = games_num or self.games_num
+        rng = jax.random.PRNGKey(self.seed + 1)
+        rng, ekey = jax.random.split(rng)
+        env_state, obs = self.vec_env.reset(ekey)
+        n = self.num_actors
+        meters = meters_init(max(games_num, 1), 1)
+
+        def step(carry, _):
+            env_state, obs, rng, cur_rew, meters = carry
+            rng, akey = jax.random.split(rng)
+            obs_vec = self._actor_obs(obs)
+            if self.obs_rms is not None:
+                obs_vec = rms_normalize(self.obs_rms, obs_vec)
+            mu, std = self.actor.apply(self.actor_params, obs_vec)
+            if self.deterministic:
+                actions = jnp.tanh(mu)
+            else:
+                actions, _ = SACActor.sample(akey, mu, std)
+            env_actions = jnp.clip(
+                actions * self.action_scale + self.action_bias,
+                self.env_info.action_space.low,
+                self.env_info.action_space.high,
+            )
+            env_state, obs, rewards, dones, infos = self.vec_env.step(
+                env_state, env_actions
+            )
+            cur_rew = cur_rew + rewards.reshape(n, 1)
+            meters = meters_update(meters, cur_rew, dones.astype(bool))
+            cur_rew = cur_rew * (1.0 - dones.astype(jnp.float32))[:, None]
+            return (env_state, obs, rng, cur_rew, meters), None
+
+        steps_needed = min(
+            self.max_steps,
+            (self.vec_env.max_episode_steps or 1000) * (games_num // n + 2),
+        )
+
+        @jax.jit
+        def rollout(carry):
+            return jax.lax.scan(step, carry, None, length=steps_needed)
+
+        carry = (env_state, obs, rng, jnp.zeros((n, 1)), meters)
+        carry, _ = rollout(carry)
+        meters = carry[4]
+        games_played = int(meters.count)
+        mean_reward = float(meters_mean(meters)[0]) if games_played else 0.0
+        print(f"av reward: {mean_reward:.2f} games played: {games_played}")
+        return mean_reward

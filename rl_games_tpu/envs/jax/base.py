@@ -104,6 +104,7 @@ class JaxVecEnv:
             d = done.reshape(done.shape + (1,) * (old.ndim - 1))
             return jnp.where(d, new, old)
 
+        final_obs = obs  # the TRUE final observation, pre-autoreset
         estate = jax.tree.map(pick, r_estate, estate)
         obs = jax.tree.map(pick, r_obs, obs)
         steps = jnp.where(done, 0, steps)
@@ -111,4 +112,7 @@ class JaxVecEnv:
         new_state = VecEnvState(estate=estate, key=key, steps=steps)
         infos = dict(info or {})
         infos["time_outs"] = time_outs
+        # same_step-style final-obs passthrough (the reference reads
+        # infos['final_observation'] for replay writes, sac_agent.py:601-662)
+        infos["final_observation"] = final_obs
         return new_state, obs, reward, done, infos

@@ -1,0 +1,182 @@
+"""SAC tests: replay-buffer semantics (the reference's fake-env test matrix,
+tests/test_sac_correctness.py), update math, and a tiny learning run."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.algos.sac import (
+    SACAgent,
+    replay_init,
+    replay_add,
+    replay_sample,
+    replay_size,
+)
+
+
+def load_cfg():
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "rl_games_tpu", "configs",
+        "sac_pendulum.yaml",
+    )
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def small_cfg(**over):
+    cfg = load_cfg()
+    c = cfg["params"]["config"]
+    c.update(
+        num_actors=4, num_steps_per_episode=4, batch_size=32,
+        replay_buffer_size=1000, num_warmup_steps=2, utd_ratio=0.5,
+        max_epochs=3, print_stats=False,
+    )
+    c.update(over)
+    return cfg
+
+
+# ------------------------------------------------------------------- replay
+def test_replay_wraparound():
+    """experience.py:237-262 wraparound (reference test :289-349)."""
+    buf = replay_init(10, (2,), 1)
+    for i in range(4):  # 4 adds x 3 rows = 12 > capacity 10
+        obs = jnp.full((3, 2), float(i))
+        buf = replay_add(
+            buf, obs, jnp.zeros((3, 1)), jnp.zeros(3), obs + 0.5,
+            jnp.zeros(3, bool), jnp.zeros(3, bool),
+        )
+    assert int(replay_size(buf)) == 10
+    assert bool(buf.full)
+    assert int(buf.idx) == 2
+    # oldest rows (first add) overwritten by the fourth add
+    np.testing.assert_allclose(np.asarray(buf.obses[0]), 3.0)
+    np.testing.assert_allclose(np.asarray(buf.obses[1]), 3.0)
+    np.testing.assert_allclose(np.asarray(buf.obses[2]), 0.0)
+
+
+def test_replay_sample_only_valid_rows():
+    buf = replay_init(100, (1,), 1)
+    obs = jnp.arange(5, dtype=jnp.float32).reshape(5, 1)
+    buf = replay_add(
+        buf, obs, jnp.zeros((5, 1)), jnp.arange(5.0), obs,
+        jnp.zeros(5, bool), jnp.zeros(5, bool),
+    )
+    o, a, r, no, d, t = replay_sample(buf, jax.random.PRNGKey(0), 64)
+    assert np.asarray(o).max() < 5  # never samples uninitialized rows
+    assert o.shape == (64, 1) and r.shape == (64, 1)
+
+
+def test_replay_stores_true_final_obs_and_bootstrap_flags():
+    """Truncation rows must store done=False + true final obs
+    (test_sac_correctness.py:185-412 semantics)."""
+    cfg = small_cfg(num_warmup_steps=1000)  # stay in warmup: no updates
+    agent = SACAgent("t", cfg["params"])
+    # pendulum truncates at 200 steps; run enough epochs to cross it
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    for _ in range(51):  # 51 * 4 steps = 204 > 200
+        state, m = fn(state)
+    size = int(replay_size(state.replay))
+    assert size == 51 * 4 * 4
+    trunc = np.asarray(state.replay.truncated[:size, 0])
+    dones = np.asarray(state.replay.dones[:size, 0])
+    assert trunc.sum() == 4  # each env truncated exactly once
+    assert dones.sum() == 0  # pendulum never hard-terminates
+    # the truncation row's next_obs must be a valid obs (cos^2+sin^2=1),
+    # i.e. the TRUE final obs, not a reset marker
+    rows = np.where(trunc)[0]
+    next_obs = np.asarray(state.replay.next_obses[rows])
+    np.testing.assert_allclose(
+        next_obs[:, 0] ** 2 + next_obs[:, 1] ** 2, 1.0, rtol=1e-5
+    )
+
+
+# ------------------------------------------------------------------- update
+def test_warmup_no_updates_then_updates():
+    cfg = small_cfg(num_warmup_steps=2)
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    state, m = fn(state)  # epoch 0 < 2: warmup
+    assert int(state.update_counter) == 0
+    assert float(m["critic_loss"]) == 0.0
+    state, m = fn(state)  # epoch 1 < 2: warmup
+    assert int(state.update_counter) == 0
+    state, m = fn(state)  # epoch 2: updates begin
+    expected = agent.num_updates_per_step * agent.num_steps_per_episode
+    assert int(state.update_counter) == expected
+    assert float(m["critic_loss"]) > 0.0
+
+
+def test_target_network_polyak():
+    cfg = small_cfg(num_warmup_steps=0)
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    # target == critic at init
+    for a, b in zip(
+        jax.tree.leaves(state.critic_params),
+        jax.tree.leaves(state.critic_target_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    fn = agent.make_train_fn()
+    state, _ = fn(state)
+    # after updates: target moved but not equal to critic
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(state.critic_params),
+            jax.tree.leaves(state.critic_target_params),
+        )
+    ]
+    assert max(diffs) > 0
+
+
+def test_alpha_learns():
+    cfg = small_cfg(num_warmup_steps=0, learnable_temperature=True)
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    la0 = float(state.log_alpha)
+    for _ in range(5):
+        state, m = fn(state)
+    assert float(state.log_alpha) != la0
+    assert float(m["alpha"]) > 0
+
+
+def test_sac_pendulum_improves():
+    cfg = load_cfg()
+    c = cfg["params"]["config"]
+    c.update(
+        num_actors=16, num_steps_per_episode=8, batch_size=256,
+        replay_buffer_size=50000, num_warmup_steps=5, utd_ratio=0.5,
+        print_stats=False,
+    )
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    for _ in range(250):
+        state, m = fn(state)
+    # random pendulum policy ~ -1200; near-optimal is ~ -150
+    assert float(m["mean_rewards"][0]) > -400.0
+
+
+def test_sac_runner_and_player(tmp_path):
+    from rl_games_tpu.runner import Runner
+
+    cfg = small_cfg(max_epochs=3, save_best_after=1)
+    cfg["params"]["config"]["train_dir"] = str(tmp_path)
+    runner = Runner()
+    runner.load(cfg)
+    best, epochs = runner.run({"train": True})
+    assert epochs == 3
+    nn_dir = os.path.join(str(tmp_path), "pendulum_sac", "nn")
+    ckpts = [f for f in os.listdir(nn_dir) if f.endswith(".ckpt")]
+    assert ckpts
+    reward = runner.run(
+        {"play": True, "checkpoint": os.path.join(nn_dir, ckpts[0])}
+    )
+    assert np.isfinite(reward)
