@@ -116,6 +116,7 @@ class PPOTrainState:
     game_rewards: Meters
     game_shaped_rewards: Meters
     game_lengths: Meters
+    rnn_states: Any = None  # tuple of [layers, N, units] | None
 
 
 class PPOAgent:
@@ -222,6 +223,24 @@ class PPOAgent:
             obs_shape=self.obs_shape,
         )
 
+        # --- RNN wiring (a2c_common.py:229-240, 507-529) --------------------
+        self.is_rnn = self.model.is_rnn()
+        self.zero_rnn_on_done = config.get("zero_rnn_on_done", True)
+        # reference default: NO minibatch permutation (datasets.py permute
+        # flag from config['permute_batches'], RNN minibatches always ordered)
+        self.permute_batches = config.get("permute_batches", False) and not self.is_rnn
+        if self.is_rnn:
+            if self.horizon_length % self.seq_length != 0:
+                raise ValueError(
+                    "horizon_length must be divisible by seq_length"
+                )
+            if self.minibatch_size % self.seq_length != 0:
+                raise ValueError(
+                    "minibatch_size must be divisible by seq_length"
+                )
+            self.num_windows = self.horizon_length // self.seq_length
+            self.games_num = self.minibatch_size // self.seq_length
+
         # --- optimizer (torch fused Adam analog: clip → wd → adam; the lr
         # lives in the train state so schedulers can run inside jit) --------
         chain = []
@@ -244,7 +263,13 @@ class PPOAgent:
         rng, env_key, model_key = jax.random.split(rng, 3)
         env_state, obs = self.vec_env.reset(env_key)
         example_obs = obs["obs"] if isinstance(obs, dict) else obs
-        params, norm = self.model.init(model_key, example_obs)
+        n_envs = self.num_actors * self.num_agents
+        rnn_states = (
+            self.model.get_default_rnn_state(n_envs) if self.is_rnn else None
+        )
+        params, norm = self.model.init(
+            model_key, example_obs, rnn_states=rnn_states
+        )
         opt_state = self.tx.init(params)
         n = self.num_actors * self.num_agents
         v = self.value_size
@@ -268,6 +293,7 @@ class PPOAgent:
             game_rewards=meters_init(self.games_to_track, v),
             game_shaped_rewards=meters_init(self.games_to_track, v),
             game_lengths=meters_init(self.games_to_track, 1),
+            rnn_states=rnn_states,
         )
         # distinct buffers per leaf — XLA dedupes equal constants, and an
         # aliased pair would break jit donation ("donate the same buffer
@@ -293,16 +319,25 @@ class PPOAgent:
         return a
 
     def _rollout(self, state: PPOTrainState):
-        """lax.scan over horizon (play_steps, a2c_common.py:787-850)."""
+        """lax.scan over horizon (play_steps / play_steps_rnn,
+        a2c_common.py:787-939). RNN mode is a nested scan over
+        [num_windows, seq_length] with hidden-state snapshots at window
+        starts; done-zeroing happens inside the recurrent core via the
+        stored per-step done flags, which reproduces the reference's
+        post-step zeroing (:899-904) at both rollout and update time."""
         params, norm = state.params, state.norm
 
         def step(carry, _):
             (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-             m_r, m_sr, m_len) = carry
+             m_r, m_sr, m_len, rnn_states) = carry
             rng, akey = jax.random.split(rng)
             res = self.model.forward_play(
-                params, norm, akey, self._actor_obs(obs)
+                params, norm, akey, self._actor_obs(obs),
+                rnn_states=rnn_states,
+                dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
+                seq_length=1,
             )
+            new_rnn_states = res["rnn_states"] if self.is_rnn else None
             env_state2, next_obs, rewards, new_dones, infos = self.vec_env.step(
                 env_state, self._env_actions(res["actions"])
             )
@@ -342,7 +377,7 @@ class PPOAgent:
                 out["sigmas"] = res["sigmas"]
             carry = (
                 env_state2, next_obs, new_dones.astype(jnp.float32), rng,
-                cur_r, cur_sr, cur_len, m_r, m_sr, m_len,
+                cur_r, cur_sr, cur_len, m_r, m_sr, m_len, new_rnn_states,
             )
             return carry, out
 
@@ -350,16 +385,42 @@ class PPOAgent:
             state.env_state, state.obs, state.dones, state.rng,
             state.current_rewards, state.current_shaped_rewards,
             state.current_lengths, state.game_rewards,
-            state.game_shaped_rewards, state.game_lengths,
+            state.game_shaped_rewards, state.game_lengths, state.rnn_states,
         )
-        carry, traj = jax.lax.scan(step, carry0, None, length=self.horizon_length)
+
+        if self.is_rnn:
+            # nested scan: snapshot hidden states at each window start
+            # (play_steps_rnn, a2c_common.py:857-860)
+            def window(carry, _):
+                snapshot = carry[-1]
+                carry, traj_w = jax.lax.scan(
+                    step, carry, None, length=self.seq_length
+                )
+                return carry, (snapshot, traj_w)
+
+            carry, (rnn_snapshots, traj) = jax.lax.scan(
+                window, carry0, None, length=self.num_windows
+            )
+            # traj leaves: [W, seq, N, ...] → [T, N, ...]
+            traj = jax.tree.map(
+                lambda x: x.reshape((self.horizon_length,) + x.shape[2:]), traj
+            )
+        else:
+            rnn_snapshots = None
+            carry, traj = jax.lax.scan(
+                step, carry0, None, length=self.horizon_length
+            )
+
         (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-         m_r, m_sr, m_len) = carry
+         m_r, m_sr, m_len, rnn_states) = carry
 
         # bootstrap values for the final obs (get_values, a2c_common:474-483)
         rng, vkey = jax.random.split(rng)
         last_values = self.model.forward_play(
-            params, norm, vkey, self._actor_obs(obs)
+            params, norm, vkey, self._actor_obs(obs),
+            rnn_states=rnn_states,
+            dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
+            seq_length=1,
         )["values"]
 
         state = state.replace(
@@ -367,10 +428,12 @@ class PPOAgent:
             current_rewards=cur_r, current_shaped_rewards=cur_sr,
             current_lengths=cur_len, game_rewards=m_r,
             game_shaped_rewards=m_sr, game_lengths=m_len,
+            rnn_states=rnn_states,
         )
-        return state, traj, last_values
+        return state, traj, last_values, rnn_snapshots
 
-    def _prepare_dataset(self, state: PPOTrainState, traj, last_values):
+    def _prepare_dataset(self, state: PPOTrainState, traj, last_values,
+                         rnn_snapshots=None):
         """GAE + dataset assembly (a2c_common.py:836-849, 1309-1370)."""
         mb_values = traj["values"]  # [T, N, V] (denormalized)
         mb_rewards = traj["rewards"]
@@ -413,12 +476,33 @@ class PPOAgent:
         dataset["advantages"] = advantages
         dataset["old_logp_actions"] = dataset.pop("neglogpacs")
         state = state.replace(norm=norm, adv_rms=adv_rms)
-        return state, dataset
+
+        rnn_dataset_states = None
+        if self.is_rnn:
+            # snapshots [W, layers, N, units] → [layers, N*W, units]; the
+            # env-major flatten means global sequence s = (env e)*W + w,
+            # matching the reference's permute(1,2,0,3).reshape
+            # (a2c_common.py:932-937)
+            rnn_dataset_states = tuple(
+                s.transpose(1, 2, 0, 3).reshape(
+                    s.shape[1], s.shape[2] * s.shape[0], s.shape[3]
+                )
+                for s in rnn_snapshots
+            )
+        return state, dataset, rnn_dataset_states
 
     def _loss_and_kl(self, params, norm, mb, entropy_coef):
         """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
+        rnn_kwargs = {}
+        if self.is_rnn:
+            rnn_kwargs = dict(
+                rnn_states=mb["rnn_states"],
+                dones=mb["dones"] if self.zero_rnn_on_done else None,
+                seq_length=self.seq_length,
+            )
         res = self.model.forward_train(
-            params, norm, self._actor_obs(mb["obses"]), mb["actions"]
+            params, norm, self._actor_obs(mb["obses"]), mb["actions"],
+            **rnn_kwargs,
         )
         a_loss = L.actor_loss(
             mb["old_logp_actions"], res["prev_neglogp"], mb["advantages"],
@@ -469,13 +553,39 @@ class PPOAgent:
             aux["sigmas"] = res["sigmas"]
         return total, aux
 
-    def _update(self, state: PPOTrainState, dataset):
-        """Minibatch epochs (train_epoch, a2c_common.py:1269-1302)."""
+    def _update(self, state: PPOTrainState, dataset, rnn_dataset_states=None):
+        """Minibatch epochs (train_epoch, a2c_common.py:1269-1302).
+
+        Minibatch selection follows the reference dataset exactly
+        (datasets.py): ordered contiguous slices by default, optional
+        whole-batch permutation per mini-epoch when `permute_batches` (non-RNN
+        only), and ordered whole-sequence groups in RNN mode with hidden-state
+        slices along the sequence axis (:63-73).
+        """
         legacy = self.schedule_type == "legacy"
 
-        def minibatch_step(carry, idx):
+        def slice_mb(ds, sel):
+            if self.permute_batches:
+                return jax.tree.map(lambda x: x[sel], ds)
+            mb = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, sel, self.minibatch_size, axis=0
+                ),
+                ds,
+            )
+            return mb
+
+        def minibatch_step(carry, sel):
             params, opt_state, ds, lr, ec = carry
-            mb = jax.tree.map(lambda x: x[idx], ds)
+            mb = slice_mb(ds, sel)
+            if self.is_rnn:
+                gstart = sel // self.seq_length
+                mb["rnn_states"] = tuple(
+                    jax.lax.dynamic_slice_in_dim(
+                        s, gstart, self.games_num, axis=1
+                    )
+                    for s in rnn_dataset_states
+                )
 
             grad_fn = jax.value_and_grad(
                 lambda p: self._loss_and_kl(p, state.norm, mb, ec),
@@ -488,11 +598,17 @@ class PPOAgent:
 
             if self.is_continuous and legacy:
                 # mu/sigma writeback for 'legacy' (datasets.py:33-43)
-                ds = {
-                    **ds,
-                    "mus": ds["mus"].at[idx].set(aux["mus"]),
-                    "sigmas": ds["sigmas"].at[idx].set(aux["sigmas"]),
-                }
+                if self.permute_batches:
+                    new_mus = ds["mus"].at[sel].set(aux["mus"])
+                    new_sigmas = ds["sigmas"].at[sel].set(aux["sigmas"])
+                else:
+                    new_mus = jax.lax.dynamic_update_slice_in_dim(
+                        ds["mus"], aux["mus"], sel, axis=0
+                    )
+                    new_sigmas = jax.lax.dynamic_update_slice_in_dim(
+                        ds["sigmas"], aux["sigmas"], sel, axis=0
+                    )
+                ds = {**ds, "mus": new_mus, "sigmas": new_sigmas}
             if legacy:
                 lr, ec = self.scheduler.update(
                     lr, ec, state.epoch, state.frame, aux["kl"]
@@ -504,13 +620,18 @@ class PPOAgent:
             }
             return (params, opt_state, ds, lr, ec), metrics
 
+        starts = jnp.arange(self.num_minibatches) * self.minibatch_size
+
         def mini_epoch(ep, carry):
             params, opt_state, ds, lr, ec, rng, metrics_acc = carry
-            rng, pkey = jax.random.split(rng)
-            perm = jax.random.permutation(pkey, self.batch_size)
-            idxs = perm.reshape(self.num_minibatches, self.minibatch_size)
+            if self.permute_batches:
+                rng, pkey = jax.random.split(rng)
+                perm = jax.random.permutation(pkey, self.batch_size)
+                sels = perm.reshape(self.num_minibatches, self.minibatch_size)
+            else:
+                sels = starts
             (params, opt_state, ds, lr, ec), ms = jax.lax.scan(
-                minibatch_step, (params, opt_state, ds, lr, ec), idxs
+                minibatch_step, (params, opt_state, ds, lr, ec), sels
             )
             ep_kl = ms["kl"].mean()
             if not legacy:
@@ -542,9 +663,11 @@ class PPOAgent:
 
     def train_epoch(self, state: PPOTrainState):
         """One full PPO epoch: rollout → GAE → minibatch updates."""
-        state, traj, last_values = self._rollout(state)
-        state, dataset = self._prepare_dataset(state, traj, last_values)
-        state, metrics = self._update(state, dataset)
+        state, traj, last_values, rnn_snapshots = self._rollout(state)
+        state, dataset, rnn_ds_states = self._prepare_dataset(
+            state, traj, last_values, rnn_snapshots
+        )
+        state, metrics = self._update(state, dataset, rnn_ds_states)
         state = state.replace(
             epoch=state.epoch + 1,
             frame=state.frame + self.batch_size,

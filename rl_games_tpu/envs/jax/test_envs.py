@@ -81,7 +81,7 @@ class MemoryEnv(JaxEnv):
     def step(self, estate: MemoryState, action, key):
         steps = estate.steps + 1
         # moves only allowed after step 1 (rnn_env.py:74-84)
-        can_move = steps > 2
+        can_move = steps > 1
         delta = jnp.stack(
             [
                 jnp.where(action == 0, 1, 0) - jnp.where(action == 1, 1, 0),

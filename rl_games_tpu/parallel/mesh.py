@@ -47,6 +47,8 @@ def ppo_state_shardings(state, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
+    rnn = NamedSharding(mesh, P(None, "data"))  # [layers, N, units]
+
     def pick(path, leaf):
         top = getattr(path[0], "name", None)
         if top in _PPO_DATA_FIELDS:
@@ -54,6 +56,8 @@ def ppo_state_shardings(state, mesh: Mesh):
             if _path_has(path, "key") or np.ndim(leaf) == 0:
                 return repl
             return data
+        if top == "rnn_states":
+            return rnn
         return repl
 
     return tree_map_with_path(pick, state)

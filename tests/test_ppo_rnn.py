@@ -1,0 +1,103 @@
+"""Recurrent PPO tests: rollout/update consistency of the hidden-state
+snapshot + sequence-minibatch plumbing, and the memory-task learning gate
+(the reference's TestRNNEnv purpose, envs/test/rnn_env.py:5-158)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.algos.ppo import PPOAgent
+
+
+def rnn_params(env_name="test_rnn_env", units=64, seq_length=4, **config_over):
+    cfg = {
+        "env_name": env_name, "num_actors": 8, "horizon_length": 16,
+        "minibatch_size": 64, "mini_epochs": 2, "learning_rate": 1e-3,
+        "lr_schedule": "adaptive", "kl_threshold": 0.008,
+        "e_clip": 0.2, "clip_value": True, "gamma": 0.99, "tau": 0.95,
+        "critic_coef": 1.0, "entropy_coef": 0.02, "grad_norm": 1.0,
+        "truncate_grads": True, "normalize_advantage": True,
+        "normalize_input": False, "normalize_value": False,
+        "value_bootstrap": True, "seed": 11, "seq_length": seq_length,
+    }
+    cfg.update(config_over)
+    return {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [64], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "lstm", "units": units, "layers": 1},
+            "space": {"discrete": {}},
+        },
+        "config": cfg,
+    }
+
+
+def test_rnn_rollout_update_consistency():
+    """Before any gradient step, re-running a sequence minibatch from its
+    hidden-state snapshot must reproduce the rollout's neglogp exactly —
+    proving snapshot layout, sequence slicing, and done-zeroing all line up."""
+    agent = PPOAgent("t", rnn_params())
+    state = agent.init_state()
+
+    state2, traj, last_values, snapshots = jax.jit(agent._rollout)(state)
+    state3, dataset, rnn_ds_states = agent._prepare_dataset(
+        state2, traj, last_values, snapshots
+    )
+    # first minibatch = first games_num sequences
+    mb = jax.tree.map(lambda x: x[: agent.minibatch_size], dataset)
+    mb["rnn_states"] = tuple(
+        s[:, : agent.games_num] for s in rnn_ds_states
+    )
+    res = agent.model.forward_train(
+        state.params, state.norm, mb["obses"], mb["actions"],
+        rnn_states=mb["rnn_states"], dones=mb["dones"],
+        seq_length=agent.seq_length,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["prev_neglogp"]),
+        np.asarray(mb["old_logp_actions"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_rnn_epoch_runs_and_is_deterministic():
+    a1 = PPOAgent("t", rnn_params())
+    a2 = PPOAgent("t", rnn_params())
+    s1 = a1.init_state()
+    s2 = a2.init_state()
+    f1 = a1.make_train_fn()
+    f2 = a2.make_train_fn()
+    for _ in range(2):
+        s1, m1 = f1(s1)
+        s2, m2 = f2(s2)
+    np.testing.assert_allclose(float(m1["a_loss"]), float(m2["a_loss"]), rtol=1e-5)
+    assert np.isfinite(float(m1["kl"]))
+
+
+def test_rnn_memory_task_learns():
+    """The memory env requires recalling the hidden goal: the dense distance
+    reward improves only if the LSTM carries goal information forward.
+    (Full mastery takes the reference's horizon-512 config thousands of
+    epochs — this gate checks clear learning progress at unit-test scale.)"""
+    agent = PPOAgent(
+        "t",
+        rnn_params(
+            num_actors=64, horizon_length=64, minibatch_size=1024,
+            mini_epochs=4, entropy_coef=0.005, seq_length=8,
+            learning_rate=5e-4, lr_schedule=None, tau=0.9, clip_value=False,
+            env_config={"apply_dist_reward": True},
+        ),
+    )
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    m = None
+    for _ in range(150):
+        state, m = fn(state)
+    # starts at ~ -3.0 (random walk distance penalty); clear learning
+    assert float(m["mean_rewards"][0]) > -1.5
+    # goal-reaching terminates episodes before the 21-step timeout
+    assert float(m["mean_lengths"]) < 19.5
