@@ -117,6 +117,9 @@ class PPOTrainState:
     game_shaped_rewards: Meters
     game_lengths: Meters
     rnn_states: Any = None  # tuple of [layers, N, units] | None
+    cv_params: Any = None  # central value net (asymmetric actor-critic)
+    cv_opt: Any = None
+    cv_norm: Any = None
 
 
 class PPOAgent:
@@ -223,6 +226,52 @@ class PPOAgent:
             obs_shape=self.obs_shape,
         )
 
+        # --- central value (asymmetric actor-critic, central_value.py) -----
+        self.central_value_config = config.get("central_value_config", None)
+        self.has_central_value = self.central_value_config is not None
+        if self.has_central_value:
+            cv_cfg = self.central_value_config
+            state_space = info.state_space or info.observation_space
+            self.state_shape = obs_shape_of(state_space)
+            from rl_games_tpu.models.models import ModelCentralValue
+            from rl_games_tpu.models.network_builder import A2CNetwork
+
+            cv_net_params = dict(cv_cfg["network"])
+            cv_net_params["central_value"] = True
+            self.cv_model = ModelCentralValue(
+                A2CNetwork.create(
+                    cv_net_params,
+                    actions_num=None,
+                    input_shape=self.state_shape,
+                    value_size=self.value_size,
+                ),
+                normalize_input=cv_cfg.get("normalize_input", False),
+                normalize_value=self.normalize_value,
+                value_size=self.value_size,
+                obs_shape=self.state_shape,
+            )
+            self.cv_lr = float(cv_cfg["learning_rate"])
+            self.cv_mini_epochs = cv_cfg["mini_epochs"]
+            self.cv_minibatch_size = cv_cfg.get(
+                "minibatch_size",
+                self.num_actors * cv_cfg.get("minibatch_size_per_env", 0),
+            )
+            self.cv_num_minibatches = (
+                self.horizon_length * self.num_actors // self.cv_minibatch_size
+            )
+            self.cv_clip_value = cv_cfg.get("clip_value", True)
+            self.cv_e_clip = cv_cfg.get("e_clip", 0.2)
+            cv_chain = []
+            if cv_cfg.get("truncate_grads", False):
+                cv_chain.append(
+                    optax.clip_by_global_norm(cv_cfg.get("grad_norm", 1.0))
+                )
+            cv_chain.append(optax.adam(self.cv_lr, eps=1e-8))
+            self.cv_tx = optax.chain(*cv_chain)
+        # with a central value net the actor model's own value head carries no
+        # loss (a2c_continuous.py:75)
+        self.has_value_loss = not self.has_central_value
+
         # --- RNN wiring (a2c_common.py:229-240, 507-529) --------------------
         self.is_rnn = self.model.is_rnn()
         self.zero_rnn_on_done = config.get("zero_rnn_on_done", True)
@@ -271,6 +320,11 @@ class PPOAgent:
             model_key, example_obs, rnn_states=rnn_states
         )
         opt_state = self.tx.init(params)
+        cv_params = cv_opt = cv_norm = None
+        if self.has_central_value:
+            cv_key = jax.random.fold_in(model_key, 1)
+            cv_params, cv_norm = self.cv_model.init(cv_key, obs["states"])
+            cv_opt = self.cv_tx.init(cv_params)
         n = self.num_actors * self.num_agents
         v = self.value_size
         adv_rms = moving_init(()) if self.normalize_rms_advantage else None
@@ -294,6 +348,9 @@ class PPOAgent:
             game_shaped_rewards=meters_init(self.games_to_track, v),
             game_lengths=meters_init(self.games_to_track, 1),
             rnn_states=rnn_states,
+            cv_params=cv_params,
+            cv_opt=cv_opt,
+            cv_norm=cv_norm,
         )
         # distinct buffers per leaf — XLA dedupes equal constants, and an
         # aliased pair would break jit donation ("donate the same buffer
@@ -338,6 +395,12 @@ class PPOAgent:
                 seq_length=1,
             )
             new_rnn_states = res["rnn_states"] if self.is_rnn else None
+            if self.has_central_value:
+                # values come from the central net (get_action_values,
+                # a2c_common.py:460-470)
+                res["values"] = self.cv_model.forward_play(
+                    state.cv_params, state.cv_norm, akey, obs["states"]
+                )["values"]
             env_state2, next_obs, rewards, new_dones, infos = self.vec_env.step(
                 env_state, self._env_actions(res["actions"])
             )
@@ -372,6 +435,8 @@ class PPOAgent:
                 "neglogpacs": res["neglogpacs"],
                 "rewards": shaped,
             }
+            if self.has_central_value:
+                out["states"] = obs["states"]
             if self.is_continuous:
                 out["mus"] = res["mus"]
                 out["sigmas"] = res["sigmas"]
@@ -416,12 +481,17 @@ class PPOAgent:
 
         # bootstrap values for the final obs (get_values, a2c_common:474-483)
         rng, vkey = jax.random.split(rng)
-        last_values = self.model.forward_play(
-            params, norm, vkey, self._actor_obs(obs),
-            rnn_states=rnn_states,
-            dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
-            seq_length=1,
-        )["values"]
+        if self.has_central_value:
+            last_values = self.cv_model.forward_play(
+                state.cv_params, state.cv_norm, vkey, obs["states"]
+            )["values"]
+        else:
+            last_values = self.model.forward_play(
+                params, norm, vkey, self._actor_obs(obs),
+                rnn_states=rnn_states,
+                dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
+                seq_length=1,
+            )["values"]
 
         state = state.replace(
             env_state=env_state, obs=obs, dones=dones, rng=rng,
@@ -455,8 +525,19 @@ class PPOAgent:
 
         norm = state.norm
         if self.normalize_input:
-            norm = M.update_obs_stats(norm, dataset["obses"])
-        if self.normalize_value:
+            norm = M.update_obs_stats(norm, self._actor_obs(dataset["obses"]))
+        cv_norm = state.cv_norm
+        if self.has_central_value:
+            # the value normalizer lives on the central net
+            # (a2c_continuous.py:73); its obs normalizer sees states
+            if self.cv_model.normalize_input:
+                cv_norm = M.update_obs_stats(cv_norm, dataset["states"])
+            if self.normalize_value:
+                if not self.freeze_critic:
+                    cv_norm = M.update_value_stats(cv_norm, values)
+                values = M.normalize_values(cv_norm, values)
+                returns = M.normalize_values(cv_norm, returns)
+        elif self.normalize_value:
             if not self.freeze_critic:
                 norm = M.update_value_stats(norm, values)
             values = M.normalize_values(norm, values)
@@ -475,7 +556,7 @@ class PPOAgent:
         dataset["returns"] = returns
         dataset["advantages"] = advantages
         dataset["old_logp_actions"] = dataset.pop("neglogpacs")
-        state = state.replace(norm=norm, adv_rms=adv_rms)
+        state = state.replace(norm=norm, adv_rms=adv_rms, cv_norm=cv_norm)
 
         rnn_dataset_states = None
         if self.is_rnn:
@@ -508,10 +589,14 @@ class PPOAgent:
             mb["old_logp_actions"], res["prev_neglogp"], mb["advantages"],
             self.ppo, self.e_clip,
         )
-        c_loss = L.critic_loss(
-            mb["old_values"], res["values"], self.e_clip, mb["returns"],
-            self.clip_value,
-        )
+        if self.has_value_loss:
+            c_loss = L.critic_loss(
+                mb["old_values"], res["values"], self.e_clip, mb["returns"],
+                self.clip_value,
+            )
+        else:
+            # central value net owns the value loss (a2c_continuous.py:75)
+            c_loss = jnp.zeros_like(res["values"])
         entropy = res["entropy"]
         if self.is_continuous and self.bounds_loss_coef is not None:
             b_loss = L.bound_loss(res["mus"])
@@ -661,13 +746,59 @@ class PPOAgent:
         )
         return state, metrics
 
+    def _update_central_value(self, state: PPOTrainState, dataset):
+        """Central value net training (central_value.py:246-339)."""
+        cv_minibatches = self.cv_num_minibatches
+
+        def minibatch_step(carry, start):
+            cv_params, cv_opt = carry
+            mb = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, start, self.cv_minibatch_size, axis=0
+                ),
+                {
+                    "states": dataset["states"],
+                    "old_values": dataset["old_values"],
+                    "returns": dataset["returns"],
+                },
+            )
+
+            def loss_fn(p):
+                res = self.cv_model.forward_train(p, state.cv_norm, mb["states"])
+                loss = L.critic_loss(
+                    mb["old_values"], res["values"], self.cv_e_clip,
+                    mb["returns"], self.cv_clip_value,
+                )
+                return loss.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(cv_params)
+            updates, cv_opt = self.cv_tx.update(grads, cv_opt, cv_params)
+            cv_params = optax.apply_updates(cv_params, updates)
+            return (cv_params, cv_opt), loss
+
+        starts = jnp.tile(
+            jnp.arange(cv_minibatches) * self.cv_minibatch_size,
+            self.cv_mini_epochs,
+        )
+        (cv_params, cv_opt), losses = jax.lax.scan(
+            minibatch_step, (state.cv_params, state.cv_opt), starts
+        )
+        state = state.replace(cv_params=cv_params, cv_opt=cv_opt)
+        return state, losses.mean()
+
     def train_epoch(self, state: PPOTrainState):
         """One full PPO epoch: rollout → GAE → minibatch updates."""
         state, traj, last_values, rnn_snapshots = self._rollout(state)
         state, dataset, rnn_ds_states = self._prepare_dataset(
             state, traj, last_values, rnn_snapshots
         )
+        cval_loss = None
+        if self.has_central_value:
+            state, cval_loss = self._update_central_value(state, dataset)
         state, metrics = self._update(state, dataset, rnn_ds_states)
+        if cval_loss is not None:
+            metrics = dict(metrics)
+            metrics["cval_loss"] = cval_loss
         state = state.replace(
             epoch=state.epoch + 1,
             frame=state.frame + self.batch_size,
