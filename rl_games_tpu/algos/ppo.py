@@ -143,8 +143,10 @@ class PPOAgent:
         else:
             self.vec_env = env_registry.create_vec_env(
                 config["env_name"], self.num_actors,
+                vecenv_type=config.get("vecenv_type"),
                 **config.get("env_config", {})
             )
+        self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         info = self.vec_env.get_env_info()
         self.env_info = info
         self.value_size = info.value_size
@@ -310,7 +312,11 @@ class PPOAgent:
         seed = self.seed if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         rng, env_key, model_key = jax.random.split(rng, 3)
-        env_state, obs = self.vec_env.reset(env_key)
+        if self.is_host_env:
+            env_state = None
+            obs = jax.tree.map(jnp.asarray, self.vec_env.reset())
+        else:
+            env_state, obs = self.vec_env.reset(env_key)
         example_obs = obs["obs"] if isinstance(obs, dict) else obs
         n_envs = self.num_actors * self.num_agents
         rnn_states = (
@@ -786,9 +792,52 @@ class PPOAgent:
         state = state.replace(cv_params=cv_params, cv_opt=cv_opt)
         return state, losses.mean()
 
-    def train_epoch(self, state: PPOTrainState):
-        """One full PPO epoch: rollout → GAE → minibatch updates."""
-        state, traj, last_values, rnn_snapshots = self._rollout(state)
+    def _finish_epoch(self, state: PPOTrainState, traj, last_values,
+                      rnn_snapshots, update_meters: bool = False):
+        """prepare_dataset → central value → minibatch updates → counters.
+
+        `update_meters=True` is the host-rollout path: episode meters are
+        folded in here from the trajectory (the device path updates them
+        inside the rollout scan)."""
+        if update_meters:
+            env_rewards = traj.pop("env_rewards")  # [T, N, V] raw rewards
+            shaped_rewards = traj["rewards"]
+            # dones produced BY step t = stored dones shifted by one, with
+            # the post-rollout dones as the last element
+            dones_next = jnp.concatenate(
+                [traj["dones"][1:], state.dones[None]], axis=0
+            )
+
+            def meter_step(carry, inp):
+                cur_r, cur_sr, cur_len, m_r, m_sr, m_len = carry
+                rew, srew, dn = inp
+                cur_r = cur_r + rew
+                cur_sr = cur_sr + srew
+                cur_len = cur_len + 1.0
+                mask = dn.astype(bool)
+                m_r = meters_update(m_r, cur_r, mask)
+                m_sr = meters_update(m_sr, cur_sr, mask)
+                m_len = meters_update(m_len, cur_len[:, None], mask)
+                nd = 1.0 - dn.astype(jnp.float32)
+                return (
+                    cur_r * nd[:, None], cur_sr * nd[:, None], cur_len * nd,
+                    m_r, m_sr, m_len,
+                ), None
+
+            carry0 = (
+                state.current_rewards, state.current_shaped_rewards,
+                state.current_lengths, state.game_rewards,
+                state.game_shaped_rewards, state.game_lengths,
+            )
+            (cur_r, cur_sr, cur_len, m_r, m_sr, m_len), _ = jax.lax.scan(
+                meter_step, carry0, (env_rewards, shaped_rewards, dones_next)
+            )
+            state = state.replace(
+                current_rewards=cur_r, current_shaped_rewards=cur_sr,
+                current_lengths=cur_len, game_rewards=m_r,
+                game_shaped_rewards=m_sr, game_lengths=m_len,
+            )
+
         state, dataset, rnn_ds_states = self._prepare_dataset(
             state, traj, last_values, rnn_snapshots
         )
@@ -814,6 +863,101 @@ class PPOAgent:
         metrics["epoch"] = state.epoch
         return state, metrics
 
+    def train_epoch(self, state: PPOTrainState):
+        """One full PPO epoch: rollout → GAE → minibatch updates (device)."""
+        state, traj, last_values, rnn_snapshots = self._rollout(state)
+        return self._finish_epoch(state, traj, last_values, rnn_snapshots)
+
+    # ------------------------------------------------------------------
+    # host-env rollout path (the reference's Ray/envpool/gymnasium analog:
+    # env stepping on the host, policy inference + GAE + update compiled)
+    # ------------------------------------------------------------------
+    def _make_host_fns(self):
+        def policy_step(params, norm, cv_params, cv_norm, key, obs, dones,
+                        rnn_states):
+            res = self.model.forward_play(
+                params, norm, key, obs,
+                rnn_states=rnn_states,
+                dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
+                seq_length=1,
+            )
+            if self.has_central_value:
+                res = dict(res)
+                # host path currently supports symmetric obs only
+            res["env_actions"] = self._env_actions(res["actions"])
+            return res
+
+        return jax.jit(policy_step), jax.jit(
+            functools.partial(self._finish_epoch, update_meters=True),
+            static_argnames=(),
+        )
+
+    def host_train_epoch(self, state: PPOTrainState):
+        """Host rollout loop (play_steps against a non-jittable vec env)."""
+        if not hasattr(self, "_host_fns"):
+            self._host_fns = self._make_host_fns()
+        policy_step, finish = self._host_fns
+
+        obs = state.obs
+        dones = jnp.asarray(state.dones)
+        rnn_states = state.rnn_states
+        rng = state.rng
+        traj_steps = []
+        snapshots = []
+        for t in range(self.horizon_length):
+            if self.is_rnn and t % self.seq_length == 0:
+                snapshots.append(rnn_states)
+            rng, akey = jax.random.split(rng)
+            res = policy_step(
+                state.params, state.norm, state.cv_params, state.cv_norm,
+                akey, obs, dones, rnn_states,
+            )
+            actions_np = np.asarray(res["env_actions"])
+            next_obs, rewards, new_dones, infos = self.vec_env.step(actions_np)
+            rewards = np.asarray(rewards, np.float32)
+            if rewards.ndim == 1:
+                rewards = rewards[:, None]
+            values = res["values"]
+            shaped = np.asarray(self.rewards_shaper(jnp.asarray(rewards)))
+            if self.value_bootstrap and "time_outs" in infos:
+                shaped = shaped + self.gamma * np.asarray(values) * np.asarray(
+                    infos["time_outs"], np.float32
+                )[:, None]
+            step_out = {
+                "obses": obs,
+                "dones": dones,
+                "actions": res["actions"],
+                "values": values,
+                "neglogpacs": res["neglogpacs"],
+                "rewards": jnp.asarray(shaped),
+                "env_rewards": jnp.asarray(rewards),
+            }
+            if self.is_continuous:
+                step_out["mus"] = res["mus"]
+                step_out["sigmas"] = res["sigmas"]
+            traj_steps.append(step_out)
+            obs = jnp.asarray(next_obs)
+            dones = jnp.asarray(new_dones, jnp.float32)
+            if self.is_rnn:
+                rnn_states = res["rnn_states"]
+
+        rng, vkey = jax.random.split(rng)
+        last = policy_step(
+            state.params, state.norm, state.cv_params, state.cv_norm,
+            vkey, obs, dones, rnn_states,
+        )
+        last_values = last["values"]
+
+        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *traj_steps)
+        rnn_snapshots = None
+        if self.is_rnn:
+            rnn_snapshots = jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots)
+
+        state = state.replace(
+            obs=obs, dones=dones, rng=rng, rnn_states=rnn_states
+        )
+        return finish(state, traj, last_values, rnn_snapshots)
+
     # ------------------------------------------------------------------
     # compiled entry points
     # ------------------------------------------------------------------
@@ -826,6 +970,8 @@ class PPOAgent:
         replicated, and XLA inserts the gradient psum over ICI.
         """
         donate_args = (0,) if donate else ()
+        if self.is_host_env:
+            return self.host_train_epoch
         if mesh is None:
             return jax.jit(self.train_epoch, donate_argnums=donate_args)
 

@@ -76,20 +76,35 @@ def replay_init(capacity: int, obs_shape, action_dim: int) -> ReplayBuffer:
 
 
 def replay_add(buf: ReplayBuffer, obs, action, reward, next_obs, done,
-               truncated) -> ReplayBuffer:
-    """Vectorized add with wraparound (experience.py:237-262)."""
+               truncated, valid=None) -> ReplayBuffer:
+    """Vectorized add with wraparound (experience.py:237-262).
+
+    `valid` masks rows out of the write entirely (the next_step autoreset
+    garbage-row skip, sac_agent.py:601-662): invalid rows neither consume a
+    slot nor advance the cursor.
+    """
     n = obs.shape[0]
     cap = buf.obses.shape[0]
-    pos = (buf.idx + jnp.arange(n)) % cap
+    if valid is None:
+        pos = (buf.idx + jnp.arange(n)) % cap
+        n_written = jnp.asarray(n, jnp.int32)
+    else:
+        valid = valid.astype(jnp.int32)
+        slot = jnp.cumsum(valid) - 1
+        pos = (buf.idx + slot) % cap
+        pos = jnp.where(valid.astype(bool), pos, cap)  # dropped via mode=drop
+        n_written = valid.sum()
     return buf.replace(
-        obses=buf.obses.at[pos].set(obs),
-        next_obses=buf.next_obses.at[pos].set(next_obs),
-        actions=buf.actions.at[pos].set(action),
-        rewards=buf.rewards.at[pos].set(reward.reshape(n, 1)),
-        dones=buf.dones.at[pos].set(done.reshape(n, 1)),
-        truncated=buf.truncated.at[pos].set(truncated.reshape(n, 1)),
-        idx=(buf.idx + n) % cap,
-        full=buf.full | (buf.idx + n >= cap),
+        obses=buf.obses.at[pos].set(obs, mode="drop"),
+        next_obses=buf.next_obses.at[pos].set(next_obs, mode="drop"),
+        actions=buf.actions.at[pos].set(action, mode="drop"),
+        rewards=buf.rewards.at[pos].set(reward.reshape(n, 1), mode="drop"),
+        dones=buf.dones.at[pos].set(done.reshape(n, 1), mode="drop"),
+        truncated=buf.truncated.at[pos].set(
+            truncated.reshape(n, 1), mode="drop"
+        ),
+        idx=(buf.idx + n_written) % cap,
+        full=buf.full | (buf.idx + n_written >= cap),
     )
 
 
@@ -110,6 +125,16 @@ def replay_sample(buf: ReplayBuffer, key, batch_size: int):
         buf.dones[idx],
         buf.truncated[idx],
     )
+
+
+_METRIC_KEYS = (
+    "critic_loss", "critic1_loss", "critic2_loss", "actor_loss", "entropy",
+    "alpha_loss", "actor_updated",
+)
+
+
+def _zero_metrics():
+    return {k: jnp.zeros(()) for k in _METRIC_KEYS}
 
 
 # ---------------------------------------------------------------------------
@@ -155,8 +180,10 @@ class SACAgent:
         else:
             self.vec_env = env_registry.create_vec_env(
                 config["env_name"], self.num_actors,
+                vecenv_type=config.get("vecenv_type"),
                 **config.get("env_config", {})
             )
+        self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         info = self.vec_env.get_env_info()
         self.env_info = info
         space = info.action_space
@@ -234,7 +261,11 @@ class SACAgent:
         seed = self.seed if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         rng, env_key, a_key, c_key = jax.random.split(rng, 4)
-        env_state, obs = self.vec_env.reset(env_key)
+        if self.is_host_env:
+            env_state = None
+            obs = jax.tree.map(jnp.asarray, self.vec_env.reset())
+        else:
+            env_state, obs = self.vec_env.reset(env_key)
         example = obs["obs"] if isinstance(obs, dict) else obs
         actor_params = self.actor.init(a_key, example)
         dummy_action = jnp.zeros((example.shape[0], self.action_dim))
@@ -549,9 +580,135 @@ class SACAgent:
         return state, out
 
     def make_train_fn(self, mesh=None, donate: bool = True):
+        if self.is_host_env:
+            return self.host_train_epoch
         return jax.jit(
             self.train_epoch, donate_argnums=(0,) if donate else ()
         )
+
+    # ------------------------------------------------------------------
+    # host-env path (the reference's envpool/gymnasium SAC loop: env steps
+    # on the host, acting + replay ingest + UTD updates compiled)
+    # ------------------------------------------------------------------
+    def _make_host_fns(self):
+        def act(actor_params, obs_rms, key, obs, warmup):
+            obs_n = self._preproc_obs(obs_rms, obs)
+            mu, std = self.actor.apply(actor_params, obs_n)
+            k1, k2 = jax.random.split(key)
+            sampled, _ = SACActor.sample(k1, mu, std)
+            random_actions = jax.random.uniform(
+                k2, sampled.shape, jnp.float32, -1.0, 1.0
+            )
+            norm_actions = jnp.where(warmup, random_actions, sampled)
+            return self._rescale(norm_actions)
+
+        def ingest_and_update(state, obs_vec, env_actions, shaped, final_obs,
+                              hard_done, time_outs, next_obs_vec, rewards,
+                              dones, valid):
+            replay = replay_add(
+                state.replay, obs_vec, env_actions, shaped, final_obs,
+                hard_done, time_outs, valid=valid,
+            )
+            obs_rms = state.obs_rms
+            if self.normalize_input:
+                obs_rms = rms_update_from_batch(obs_rms, next_obs_vec)
+            cur_r = state.current_rewards + rewards[:, None]
+            cur_len = state.current_lengths + 1.0
+            done_mask = dones.astype(bool)
+            m_r = meters_update(state.game_rewards, cur_r, done_mask)
+            m_len = meters_update(
+                state.game_lengths, cur_len[:, None], done_mask
+            )
+            nd = 1.0 - dones.astype(jnp.float32)
+            state = state.replace(
+                replay=replay, obs_rms=obs_rms,
+                frame=state.frame + self.num_actors,
+                current_rewards=cur_r * nd[:, None],
+                current_lengths=cur_len * nd,
+                game_rewards=m_r, game_lengths=m_len,
+            )
+
+            warmup = state.epoch < self.num_warmup_steps
+
+            def do_updates(state):
+                def one_update(c, _):
+                    s, _ = c
+                    rng, k = jax.random.split(s.rng)
+                    s = s.replace(rng=rng)
+                    s, m = self._update(s, k)
+                    return (s, m), None
+
+                zero = _zero_metrics()
+                (state, metrics), _ = jax.lax.scan(
+                    one_update, (state, zero), None,
+                    length=self.num_updates_per_step,
+                )
+                return state, metrics
+
+            state, metrics = jax.lax.cond(
+                ~warmup, do_updates, lambda s: (s, _zero_metrics()), state
+            )
+            return state, metrics
+
+        # no donation: obs_vec aliases state.obs in the argument list
+        return jax.jit(act), jax.jit(ingest_and_update)
+
+    def host_train_epoch(self, state: SACTrainState):
+        if not hasattr(self, "_host_fns"):
+            self._host_fns = self._make_host_fns()
+        act, ingest_and_update = self._host_fns
+
+        metrics = _zero_metrics()
+        warmup = int(state.epoch) < self.num_warmup_steps
+        autoreset_mode = getattr(self.vec_env, "autoreset_mode", "same_step")
+        if not hasattr(self, "_host_prev_dones"):
+            self._host_prev_dones = np.zeros(self.num_actors, bool)
+        for _ in range(self.num_steps_per_episode):
+            rng, akey = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            obs_vec = self._actor_obs(state.obs)
+            env_actions = act(
+                state.actor_params, state.obs_rms, akey, obs_vec,
+                jnp.asarray(warmup),
+            )
+            next_obs, rewards, dones, infos = self.vec_env.step(
+                np.asarray(env_actions)
+            )
+            rewards = jnp.asarray(rewards, jnp.float32).reshape(self.num_actors)
+            shaped = self.rewards_shaper(rewards)
+            dones_j = jnp.asarray(dones)
+            time_outs = jnp.asarray(infos.get("time_outs", np.zeros_like(dones)))
+            final_obs = jnp.asarray(
+                infos.get("final_observation", next_obs), jnp.float32
+            )
+            next_obs_j = jnp.asarray(next_obs, jnp.float32)
+            if self.value_bootstrap:
+                hard_done = dones_j & (~time_outs)
+            else:
+                hard_done = dones_j
+            # next_step autoreset: the row FOLLOWING a done is the reset
+            # garbage row — skip its replay write (sac_agent.py:601-662)
+            if autoreset_mode == "next_step":
+                valid = jnp.asarray(~self._host_prev_dones)
+                self._host_prev_dones = np.asarray(dones)
+            else:
+                valid = jnp.ones(self.num_actors, bool)
+            state, metrics = ingest_and_update(
+                state, obs_vec, env_actions, shaped, final_obs, hard_done,
+                time_outs, next_obs_j, rewards, dones_j, valid,
+            )
+            state = state.replace(obs=next_obs_j)
+
+        state = state.replace(epoch=state.epoch + 1)
+        out = dict(metrics)
+        out["alpha"] = self._alpha(state.log_alpha)
+        out["mean_rewards"] = meters_mean(state.game_rewards)
+        out["mean_lengths"] = meters_mean(state.game_lengths)[0]
+        out["games_played"] = state.game_rewards.count
+        out["frame"] = state.frame
+        out["epoch"] = state.epoch
+        out["replay_size"] = replay_size(state.replay)
+        return state, out
 
     def get_weights(self, state: SACTrainState):
         return {

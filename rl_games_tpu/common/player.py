@@ -40,6 +40,7 @@ class BasePlayer:
         else:
             self.vec_env = env_registry.create_vec_env(
                 config["env_name"], self.num_actors,
+                vecenv_type=config.get("vecenv_type"),
                 **config.get("env_config", {})
             )
         info = self.vec_env.get_env_info()
@@ -160,6 +161,7 @@ class SACPlayer(BasePlayer):
         else:
             self.vec_env = env_registry.create_vec_env(
                 config["env_name"], self.num_actors,
+                vecenv_type=config.get("vecenv_type"),
                 **config.get("env_config", {})
             )
         info = self.vec_env.get_env_info()

@@ -1,0 +1,132 @@
+"""Host-side gymnasium vectorized environments.
+
+Re-design of rl_games/common/gymnasium_vecenv.py: wraps
+gymnasium.vector.{Sync,Async}VectorEnv behind the reference's 4-tuple vec-env
+contract — step(actions) -> (obs, rewards, dones, infos) with
+dones = terminated | truncated and infos['time_outs'] carrying truncation
+(common/ivecenv.py:12-20) — plus space conversion into the framework's
+lightweight space descriptions. Declares `autoreset_mode='next_step'`
+(gymnasium 1.x vector default): the row following a done is the new
+episode's reset row.
+
+This is the non-jittable path: the trainer runs a host rollout loop against
+it (the analog of the reference's Ray/envpool path) while GAE and the update
+remain compiled.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from rl_games_tpu.envs.spaces import Box, Discrete, DictSpace, EnvInfo, MultiDiscrete
+
+
+def convert_space(space):
+    import gymnasium as gym
+
+    if isinstance(space, gym.spaces.Box):
+        return Box(
+            shape=tuple(space.shape),
+            low=float(np.min(space.low)),
+            high=float(np.max(space.high)),
+        )
+    if isinstance(space, gym.spaces.Discrete):
+        return Discrete(n=int(space.n))
+    if isinstance(space, gym.spaces.MultiDiscrete):
+        return MultiDiscrete(nvec=tuple(int(n) for n in space.nvec))
+    if isinstance(space, gym.spaces.Dict):
+        return DictSpace.create(
+            {k: convert_space(v) for k, v in space.spaces.items()}
+        )
+    raise ValueError(f"unsupported gymnasium space: {space}")
+
+
+class GymnasiumVecEnv:
+    """gymnasium_vecenv.py:100-258 equivalent (single-agent path)."""
+
+    is_host_env = True
+    autoreset_mode = "next_step"
+
+    def __init__(self, env_id: str, num_actors: int, *, use_async: bool = False,
+                 seed: Optional[int] = None, wrappers=None, **env_kwargs):
+        import gymnasium as gym
+
+        self.num_envs = num_actors
+        self.env_id = env_id
+
+        def make(i):
+            def thunk():
+                env = gym.make(env_id, **env_kwargs)
+                for w in wrappers or []:
+                    env = w(env)
+                return env
+
+            return thunk
+
+        cls = gym.vector.AsyncVectorEnv if use_async else gym.vector.SyncVectorEnv
+        self.env = cls([make(i) for i in range(num_actors)])
+        self.seed = seed
+        self._action_is_discrete = isinstance(
+            self.env.single_action_space, gym.spaces.Discrete
+        )
+        low = getattr(self.env.single_action_space, "low", None)
+        high = getattr(self.env.single_action_space, "high", None)
+        self._action_low = None if low is None else np.asarray(low, np.float32)
+        self._action_high = None if high is None else np.asarray(high, np.float32)
+        self.max_episode_steps = getattr(
+            self.env.envs[0] if not use_async else None, "spec", None
+        )
+        try:
+            self.max_episode_steps = self.env.spec.max_episode_steps
+        except Exception:
+            self.max_episode_steps = None
+
+    def get_env_info(self) -> EnvInfo:
+        return EnvInfo(
+            observation_space=convert_space(self.env.single_observation_space),
+            action_space=convert_space(self.env.single_action_space),
+        )
+
+    def reset(self):
+        obs, _ = self.env.reset(seed=self.seed)
+        return np.asarray(obs, np.float32)
+
+    def step(self, actions):
+        actions = np.asarray(actions)
+        if self._action_is_discrete:
+            actions = actions.astype(np.int64)
+        elif self._action_low is not None:
+            actions = np.clip(
+                actions.astype(np.float32), self._action_low, self._action_high
+            )
+        obs, rewards, terminated, truncated, infos = self.env.step(actions)
+        dones = np.logical_or(terminated, truncated)
+        out_infos = {
+            "time_outs": np.logical_and(truncated, ~terminated),
+        }
+        # final observation on done rows: in gymnasium 1.x NEXT_STEP
+        # autoreset the returned obs at the done step IS the true final obs
+        # (the reset happens on the following, to-be-skipped step); same_step
+        # wrappers surface it via infos instead
+        final = None
+        for key in ("final_obs", "final_observation"):
+            if key in infos:
+                final = infos[key]
+                break
+        if final is not None:
+            final_obs = np.asarray(obs, np.float32).copy()
+            for i, f in enumerate(final):
+                if f is not None:
+                    final_obs[i] = f
+            out_infos["final_observation"] = final_obs
+        elif dones.any():
+            out_infos["final_observation"] = np.asarray(obs, np.float32)
+        return (
+            np.asarray(obs, np.float32),
+            np.asarray(rewards, np.float32),
+            dones,
+            out_infos,
+        )
+
+    def close(self):
+        self.env.close()

@@ -25,11 +25,23 @@ def register_vecenv_type(name: str, func: Callable):
     VECENV_TYPES[name] = func
 
 
-def create_vec_env(env_name: str, num_actors: int, **kwargs):
-    """vecenv.create_vec_env (:379-391)."""
-    cfg = ENV_CONFIGURATIONS[env_name]
-    vecenv_type = cfg.get("vecenv_type", "JAX")
-    return VECENV_TYPES[vecenv_type](cfg, num_actors, **kwargs)
+def create_vec_env(env_name: str, num_actors: int, vecenv_type: str = None,
+                   **kwargs):
+    """vecenv.create_vec_env (:379-391).
+
+    Unregistered env names bind on the fly when a vecenv_type is given
+    (the reference registers config-driven envs the same way,
+    torch_runner.py:156-162); unknown names default to the GYMNASIUM host
+    path, which covers the reference's gym env zoo (MuJoCo, classic
+    control, ...)."""
+    if env_name in ENV_CONFIGURATIONS:
+        cfg = dict(ENV_CONFIGURATIONS[env_name])
+        vtype = vecenv_type or cfg.get("vecenv_type", "JAX")
+    else:
+        cfg = {}
+        vtype = vecenv_type or "GYMNASIUM"
+    cfg.setdefault("env_id", env_name)
+    return VECENV_TYPES[vtype](cfg, num_actors, **kwargs)
 
 
 def get_env_info(env) -> dict:
