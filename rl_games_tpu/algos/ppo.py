@@ -120,6 +120,7 @@ class PPOTrainState:
     cv_params: Any = None  # central value net (asymmetric actor-critic)
     cv_opt: Any = None
     cv_norm: Any = None
+    game_scores: Any = None  # Meters over infos['scores'] at episode end
 
 
 class PPOAgent:
@@ -357,6 +358,7 @@ class PPOAgent:
             cv_params=cv_params,
             cv_opt=cv_opt,
             cv_norm=cv_norm,
+            game_scores=meters_init(self.games_to_track, 1),
         )
         # distinct buffers per leaf — XLA dedupes equal constants, and an
         # aliased pair would break jit donation ("donate the same buffer
@@ -392,7 +394,7 @@ class PPOAgent:
 
         def step(carry, _):
             (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-             m_r, m_sr, m_len, rnn_states) = carry
+             m_r, m_sr, m_len, m_sc, rnn_states) = carry
             rng, akey = jax.random.split(rng)
             res = self.model.forward_play(
                 params, norm, akey, self._actor_obs(obs),
@@ -428,6 +430,14 @@ class PPOAgent:
             m_r = meters_update(m_r, cur_r, done_mask)
             m_sr = meters_update(m_sr, cur_sr, done_mask)
             m_len = meters_update(m_len, cur_len[:, None], done_mask)
+            if "scores" in infos:
+                # DefaultAlgoObserver score extraction at done rows
+                # (algo_observer.py:29-92), device-side
+                m_sc = meters_update(
+                    m_sc,
+                    infos["scores"].astype(jnp.float32).reshape(-1, 1),
+                    done_mask,
+                )
             not_done = 1.0 - new_dones.astype(jnp.float32)
             cur_r = cur_r * not_done[:, None]
             cur_sr = cur_sr * not_done[:, None]
@@ -448,7 +458,8 @@ class PPOAgent:
                 out["sigmas"] = res["sigmas"]
             carry = (
                 env_state2, next_obs, new_dones.astype(jnp.float32), rng,
-                cur_r, cur_sr, cur_len, m_r, m_sr, m_len, new_rnn_states,
+                cur_r, cur_sr, cur_len, m_r, m_sr, m_len, m_sc,
+                new_rnn_states,
             )
             return carry, out
 
@@ -456,7 +467,8 @@ class PPOAgent:
             state.env_state, state.obs, state.dones, state.rng,
             state.current_rewards, state.current_shaped_rewards,
             state.current_lengths, state.game_rewards,
-            state.game_shaped_rewards, state.game_lengths, state.rnn_states,
+            state.game_shaped_rewards, state.game_lengths, state.game_scores,
+            state.rnn_states,
         )
 
         if self.is_rnn:
@@ -483,7 +495,7 @@ class PPOAgent:
             )
 
         (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-         m_r, m_sr, m_len, rnn_states) = carry
+         m_r, m_sr, m_len, m_sc, rnn_states) = carry
 
         # bootstrap values for the final obs (get_values, a2c_common:474-483)
         rng, vkey = jax.random.split(rng)
@@ -504,7 +516,7 @@ class PPOAgent:
             current_rewards=cur_r, current_shaped_rewards=cur_sr,
             current_lengths=cur_len, game_rewards=m_r,
             game_shaped_rewards=m_sr, game_lengths=m_len,
-            rnn_states=rnn_states,
+            game_scores=m_sc, rnn_states=rnn_states,
         )
         return state, traj, last_values, rnn_snapshots
 
@@ -845,8 +857,12 @@ class PPOAgent:
         if self.has_central_value:
             state, cval_loss = self._update_central_value(state, dataset)
         state, metrics = self._update(state, dataset, rnn_ds_states)
+        metrics = dict(metrics)
+        # PpoDiagnostics explained variance (diagnostics.py:18-60)
+        metrics["explained_variance"] = MK.explained_variance(
+            dataset["old_values"].reshape(-1), dataset["returns"].reshape(-1)
+        )
         if cval_loss is not None:
-            metrics = dict(metrics)
             metrics["cval_loss"] = cval_loss
         state = state.replace(
             epoch=state.epoch + 1,
@@ -859,6 +875,8 @@ class PPOAgent:
         metrics["mean_shaped_rewards"] = meters_mean(state.game_shaped_rewards)
         metrics["mean_lengths"] = meters_mean(state.game_lengths)[0]
         metrics["games_played"] = state.game_rewards.count
+        if state.game_scores is not None:
+            metrics["mean_scores"] = meters_mean(state.game_scores)[0]
         metrics["frame"] = state.frame
         metrics["epoch"] = state.epoch
         return state, metrics
@@ -1037,6 +1055,33 @@ class PPOAgent:
 
         if writer is None:
             writer = create_writer(summaries_dir)
+        self.writer = writer
+        observer = (self.config.get("features") or {}).get("observer")
+        if observer is not None:
+            observer.after_init(self)
+        # self-play (a2c_common has_self_play_config path) and PBT wiring
+        self_play_manager = None
+        if self.config.get("self_play_config"):
+            from rl_games_tpu.utils.self_play import SelfPlayManager
+
+            self_play_manager = SelfPlayManager(
+                self.config["self_play_config"], writer
+            )
+        pbt_manager = None
+        pbt_cfg_dict = self.config.get("pbt") or {}
+        if pbt_cfg_dict.get("enabled"):
+            from rl_games_tpu.utils.pbt import PbtCfg, PbtManager
+
+            pbt_cfg = PbtCfg.from_dict(pbt_cfg_dict)
+            if not pbt_cfg.directory:
+                pbt_cfg.directory = train_dir
+            pbt_manager = PbtManager(
+                pbt_cfg,
+                {
+                    "learning_rate": self.learning_rate,
+                    "entropy_coef": self.entropy_coef_init,
+                },
+            )
         train_fn = self.make_train_fn(mesh=mesh)
         max_epochs = self.max_epochs if max_epochs is None else max_epochs
 
@@ -1056,6 +1101,17 @@ class PPOAgent:
                 writer, metrics, frame, epoch_num, total_time, fps_total,
                 fps_total, self.value_size,
             )
+            writer.add_scalar(
+                "info/explained_variance",
+                float(metrics["explained_variance"]), frame,
+            )
+            if observer is not None:
+                observer.after_epoch(metrics)
+                observer.after_print_stats(frame, epoch_num, total_time)
+            if self_play_manager is not None:
+                self_play_manager.update(self, state, metrics)
+            if pbt_manager is not None:
+                state = pbt_manager.step(self, state, metrics)
             if config.get("print_stats", True):
                 print(
                     f"fps total: {fps_total:.0f} epoch: {epoch_num}"

@@ -1,0 +1,94 @@
+"""Algo observers: the callback bus for custom metrics.
+
+Re-design of rl_games/common/algo_observer.py. The reference's
+``process_infos(infos, done_indices)`` fires per env step on the host; in the
+compiled-epoch world per-step infos live on device, so score extraction moved
+into the rollout scan (envs emitting ``infos['scores']`` feed a device-side
+ring meter, the DefaultAlgoObserver semantics of :29-92) and observers see
+aggregated metrics once per epoch. The hook surface is preserved.
+"""
+
+from typing import Optional
+
+
+class AlgoObserver:
+    """algo_observer.py:6-26 hook surface."""
+
+    def before_init(self, base_name, config, experiment_name):
+        pass
+
+    def after_init(self, algo):
+        pass
+
+    def process_infos(self, infos, done_indices):
+        """Host-path only: called when infos are host-visible."""
+
+    def after_steps(self):
+        pass
+
+    def after_epoch(self, metrics: dict):
+        """Compiled-path hook: aggregated metrics once per epoch."""
+
+    def after_clear_stats(self):
+        pass
+
+    def after_print_stats(self, frame, epoch_num, total_time):
+        pass
+
+
+class DefaultAlgoObserver(AlgoObserver):
+    """Scores tracking (algo_observer.py:29-92): envs that report
+    infos['scores'] get a scores/* scalar family; on the compiled path the
+    meter is device-side and arrives via metrics['mean_scores']."""
+
+    def __init__(self):
+        self.writer = None
+        self.mean_scores = None
+
+    def after_init(self, algo):
+        self.algo = algo
+        self.writer = getattr(algo, "writer", None)
+
+    def after_epoch(self, metrics):
+        if "mean_scores" in metrics:
+            self.mean_scores = float(metrics["mean_scores"])
+
+    def after_print_stats(self, frame, epoch_num, total_time):
+        if self.writer is not None and self.mean_scores is not None:
+            self.writer.add_scalar("scores/mean", self.mean_scores, frame)
+            self.writer.add_scalar("scores/iter", self.mean_scores, epoch_num)
+            self.writer.add_scalar(
+                "scores/time", self.mean_scores, int(total_time)
+            )
+
+
+class MultiObserver(AlgoObserver):
+    """Compose observers (pbt.py:275-302)."""
+
+    def __init__(self, observers):
+        self.observers = [o for o in observers if o is not None]
+
+    def _call(self, name, *args, **kwargs):
+        for o in self.observers:
+            getattr(o, name)(*args, **kwargs)
+
+    def before_init(self, *a, **k):
+        self._call("before_init", *a, **k)
+
+    def after_init(self, *a, **k):
+        self._call("after_init", *a, **k)
+
+    def process_infos(self, *a, **k):
+        self._call("process_infos", *a, **k)
+
+    def after_steps(self, *a, **k):
+        self._call("after_steps", *a, **k)
+
+    def after_epoch(self, *a, **k):
+        self._call("after_epoch", *a, **k)
+
+    def after_clear_stats(self, *a, **k):
+        self._call("after_clear_stats", *a, **k)
+
+    def after_print_stats(self, *a, **k):
+        self._call("after_print_stats", *a, **k)

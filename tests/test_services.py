@@ -1,0 +1,162 @@
+"""Service-layer tests: PBT mutation/banding/population protocol (the
+reference's tests/test_pbt.py approach with a FakeAlgo), self-play manager,
+observers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rl_games_tpu.utils import pbt
+from rl_games_tpu.utils.observers import DefaultAlgoObserver, MultiObserver
+from rl_games_tpu.utils.self_play import SelfPlayManager
+
+
+# ---------------------------------------------------------------------- PBT
+def test_mutate_float_range():
+    np.random.seed(0)
+    vals = [pbt.mutate_float(1.0, 1.1, 1.5) for _ in range(200)]
+    for v in vals:
+        assert 1.0 / 1.5 <= v <= 1.5
+        assert v != 1.0
+
+
+def test_mutate_discount_conservative():
+    for _ in range(100):
+        g = pbt.mutate_discount(0.99)
+        assert 0.98 < g < 0.9951
+        assert g != 0.99
+
+
+def test_mutate_respects_rate_and_rules():
+    import random
+
+    random.seed(0)
+    params = {"lr": 1e-4, "gamma": 0.99, "other": 5}
+    out = pbt.mutate(
+        params, {"lr": "mutate_float", "gamma": "mutate_discount"},
+        mutation_rate=1.0, change_range=(1.1, 1.5),
+    )
+    assert out["lr"] != 1e-4
+    assert out["gamma"] != 0.99
+    assert out["other"] == 5  # no rule → untouched
+    out2 = pbt.mutate(params, {"lr": "mutate_float"}, 0.0, (1.1, 1.5))
+    assert out2 == params  # rate 0 → nothing mutates
+    with pytest.raises(KeyError):
+        pbt.mutate({"x": 1.0}, {"x": "nope"}, 1.0, (1.1, 1.5))
+
+
+def test_classify_bands():
+    leader_cut, laggard_cut = pbt.classify(
+        [0.0, 0.5, 1.0], threshold_std=0.1, threshold_abs=0.05
+    )
+    assert leader_cut > 0.5 and laggard_cut < 0.5
+
+
+class FakeAlgo:
+    def __init__(self):
+        self.weights_set = None
+
+    def get_weights(self, state):
+        return {"w": state["w"]}
+
+    def set_weights(self, state, weights):
+        return {**state, "w": weights["w"]}
+
+
+def test_pbt_population_protocol(tmp_path):
+    cfg = pbt.PbtCfg(
+        enabled=True, policy_idx=2, num_policies=3,
+        directory=str(tmp_path), interval_steps=100,
+        mutation={"learning_rate": "mutate_float"}, mutation_rate=1.0,
+        threshold_std=0.1, threshold_abs=0.05,
+    )
+    ws = os.path.join(str(tmp_path), cfg.workspace)
+    # two other members already on disk: one leader, one middling
+    pbt.save_member(ws, 0, score=10.0, frame=100, weights={"w": "leader"},
+                    params={"learning_rate": 1e-3})
+    pbt.save_member(ws, 1, score=5.0, frame=100, weights={"w": "mid"},
+                    params={"learning_rate": 3e-4})
+
+    mgr = pbt.PbtManager(cfg, {"learning_rate": 1e-4})
+    algo = FakeAlgo()
+    state = {"w": "mine"}
+    # our score is terrible → adopt the leader
+    metrics = {"frame": 200, "mean_rewards": np.asarray([0.1])}
+    state = mgr.step(algo, state, metrics)
+    assert state["w"] == "leader"
+    assert mgr.mutable_params["learning_rate"] != 1e-3  # mutated
+    # our record landed on disk too
+    members = pbt.load_population(ws, 3)
+    assert members[2] is not None and members[2]["score"] == pytest.approx(0.1)
+
+
+def test_pbt_no_adoption_when_competitive(tmp_path):
+    cfg = pbt.PbtCfg(
+        enabled=True, policy_idx=1, num_policies=2,
+        directory=str(tmp_path), interval_steps=100,
+    )
+    ws = os.path.join(str(tmp_path), cfg.workspace)
+    pbt.save_member(ws, 0, score=1.0, frame=100, weights={"w": "leader"},
+                    params={})
+    mgr = pbt.PbtManager(cfg, {})
+    algo = FakeAlgo()
+    state = {"w": "mine"}
+    metrics = {"frame": 150, "mean_rewards": np.asarray([0.99])}
+    state = mgr.step(algo, state, metrics)
+    assert state["w"] == "mine"  # within band → keep training
+
+
+# ----------------------------------------------------------------- self-play
+class FakeVecEnv:
+    def __init__(self):
+        self.set_weights_calls = []
+
+    def set_weights(self, indices, weights):
+        self.set_weights_calls.append((np.asarray(indices).copy(), weights))
+
+
+class FakeSPAlgo:
+    def __init__(self):
+        self.vec_env = FakeVecEnv()
+        self.num_actors = 4
+
+    def get_weights(self, state):
+        return {"w": 1}
+
+
+def test_self_play_manager_triggers_and_rotates():
+    mgr = SelfPlayManager(
+        {"update_score": 0.5, "games_to_check": 10, "env_update_num": 2}
+    )
+    algo = FakeSPAlgo()
+    # not enough games yet
+    assert not mgr.update(algo, None, {"games_played": 5, "mean_rewards": [0.9]})
+    # low score
+    assert not mgr.update(
+        algo, None, {"games_played": 20, "mean_rewards": [0.2], "frame": 0}
+    )
+    # triggers
+    assert mgr.update(
+        algo, None, {"games_played": 20, "mean_rewards": [0.9], "frame": 0}
+    )
+    idx0 = algo.vec_env.set_weights_calls[0][0]
+    np.testing.assert_array_equal(idx0, [0, 1])
+    assert mgr.update(
+        algo, None, {"games_played": 20, "mean_rewards": [0.9], "frame": 0}
+    )
+    idx1 = algo.vec_env.set_weights_calls[1][0]
+    np.testing.assert_array_equal(idx1, [1, 2])  # rotated
+
+
+# ----------------------------------------------------------------- observers
+def test_observers_compose():
+    calls = []
+
+    class Probe(DefaultAlgoObserver):
+        def after_epoch(self, metrics):
+            calls.append(metrics)
+
+    multi = MultiObserver([Probe(), None, Probe()])
+    multi.after_epoch({"mean_scores": 1.0})
+    assert len(calls) == 2
