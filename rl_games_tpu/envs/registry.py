@@ -71,8 +71,17 @@ def _create_gymnasium_vecenv(cfg, num_actors, **kwargs):
     )
 
 
+def _create_cpu_vecenv(cfg, num_actors, **kwargs):
+    from rl_games_tpu.envs.host.cpuenv import CpuVecEnv
+
+    return CpuVecEnv(
+        cfg["env_id"], num_actors, **{**cfg.get("env_config", {}), **kwargs}
+    )
+
+
 register_vecenv_type("JAX", _create_jax_vecenv)
 register_vecenv_type("GYMNASIUM", _create_gymnasium_vecenv)
+register_vecenv_type("CPUENV", _create_cpu_vecenv)
 
 # --- built-in device-resident envs (the analog of env_configurations.py's
 # built-in table) ---
