@@ -204,6 +204,7 @@ class PPOAgent:
         self.max_frames = max(config.get("max_frames", -1), config.get("max_steps", -1))
         self.games_to_track = config.get("games_to_track", 100)
         self.clip_actions = config.get("clip_actions", True)
+        self.use_action_masks = config.get("use_action_masks", False)
         self.save_freq = config.get("save_frequency", 0)
         self.save_best_after = config.get("save_best_after", 100)
         self.score_to_win = config.get("score_to_win", None)
@@ -396,11 +397,18 @@ class PPOAgent:
             (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
              m_r, m_sr, m_len, m_sc, rnn_states) = carry
             rng, akey = jax.random.split(rng)
+            mask_kwargs = {}
+            if self.use_action_masks:
+                # get_masked_action_values (a2c_common.py:793-797)
+                mask_kwargs["action_masks"] = self.vec_env.get_action_masks(
+                    env_state
+                )
             res = self.model.forward_play(
                 params, norm, akey, self._actor_obs(obs),
                 rnn_states=rnn_states,
                 dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
                 seq_length=1,
+                **mask_kwargs,
             )
             new_rnn_states = res["rnn_states"] if self.is_rnn else None
             if self.has_central_value:
@@ -456,6 +464,8 @@ class PPOAgent:
             if self.is_continuous:
                 out["mus"] = res["mus"]
                 out["sigmas"] = res["sigmas"]
+            if self.use_action_masks:
+                out["action_masks"] = mask_kwargs["action_masks"]
             carry = (
                 env_state2, next_obs, new_dones.astype(jnp.float32), rng,
                 cur_r, cur_sr, cur_len, m_r, m_sr, m_len, m_sc,
@@ -599,6 +609,8 @@ class PPOAgent:
                 dones=mb["dones"] if self.zero_rnn_on_done else None,
                 seq_length=self.seq_length,
             )
+        if self.use_action_masks:
+            rnn_kwargs["action_masks"] = mb["action_masks"]
         res = self.model.forward_train(
             params, norm, self._actor_obs(mb["obses"]), mb["actions"],
             **rnn_kwargs,

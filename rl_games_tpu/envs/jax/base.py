@@ -31,6 +31,7 @@ class JaxEnv:
     """Single-environment pure dynamics. Subclasses are stateless."""
 
     max_episode_steps: Optional[int] = None
+    has_action_masks: bool = False
 
     def env_info(self) -> EnvInfo:
         raise NotImplementedError
@@ -39,6 +40,11 @@ class JaxEnv:
         raise NotImplementedError
 
     def step(self, estate, action, key):
+        raise NotImplementedError
+
+    def action_masks(self, estate):
+        """Per-env valid-action mask [num_actions] (IVecEnv
+        get_action_masks, common/ivecenv.py:24-26)."""
         raise NotImplementedError
 
 
@@ -70,6 +76,14 @@ class JaxVecEnv:
 
     def get_env_info(self) -> EnvInfo:
         return self.env.env_info()
+
+    @property
+    def has_action_masks(self) -> bool:
+        return self.env.has_action_masks
+
+    def get_action_masks(self, state: "VecEnvState"):
+        """Batched valid-action masks [N, num_actions] (jit/scan-safe)."""
+        return jax.vmap(self.env.action_masks)(state.estate)
 
     def reset(self, key) -> Tuple[VecEnvState, Any]:
         keys = jax.random.split(key, self.num_envs + 1)

@@ -101,6 +101,27 @@ class MemoryEnv(JaxEnv):
         }
 
 
+class MaskedMemoryEnv(MemoryEnv):
+    """MemoryEnv variant with action masking: moves along an axis are only
+    valid while the agent hasn't overshot past +-max_dist on it — exercises
+    the CategoricalMasked path end-to-end (the role SMAC plays for the
+    reference, envs/smac_env.py:6-107)."""
+
+    has_action_masks = True
+
+    def action_masks(self, estate: MemoryState):
+        pos = estate.pos
+        lim = self.max_dist
+        return jnp.stack(
+            [
+                pos[0] < lim,   # +x
+                pos[0] > -lim,  # -x
+                pos[1] < lim,   # +y
+                pos[1] > -lim,  # -y
+            ]
+        )
+
+
 class AsymmetricEnv(JaxEnv):
     """CartPole with velocity components masked from the actor obs; the full
     state goes to the central-value critic via obs dict {'obs','states'}."""

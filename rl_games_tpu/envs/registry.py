@@ -105,6 +105,10 @@ def register_test_envs():
         "test_asymmetric_env",
         {"vecenv_type": "JAX", "env_creator": test_envs.AsymmetricEnv},
     )
+    register(
+        "test_masked_env",
+        {"vecenv_type": "JAX", "env_creator": test_envs.MaskedMemoryEnv},
+    )
 
 
 try:  # keep test envs always available, like rl_games.envs.test

@@ -101,3 +101,25 @@ def test_rnn_memory_task_learns():
     assert float(m["mean_rewards"][0]) > -1.5
     # goal-reaching terminates episodes before the 21-step timeout
     assert float(m["mean_lengths"]) < 19.5
+
+
+def test_action_masks_end_to_end():
+    """use_action_masks wiring: rollout samples only valid actions and the
+    update consumes stored masks (get_masked_action_values path)."""
+    import jax.numpy as jnp
+    from rl_games_tpu.envs.registry import create_vec_env
+
+    p = rnn_params(env_name="test_masked_env")
+    del p["network"]["rnn"]  # feedforward is enough here
+    p["config"]["use_action_masks"] = True
+    agent = PPOAgent("t", p)
+    assert agent.vec_env.has_action_masks
+    state = agent.init_state()
+    masks = agent.vec_env.get_action_masks(state.env_state)
+    assert masks.shape == (8, 4)
+    assert bool(masks.all())  # at origin everything is valid
+    fn = agent.make_train_fn()
+    for _ in range(3):
+        state, m = fn(state)
+    assert np.isfinite(float(m["a_loss"]))
+    assert np.isfinite(float(m["kl"]))
