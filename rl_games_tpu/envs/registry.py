@@ -94,6 +94,15 @@ register(
 )
 
 
+def _create_ant2d():
+    from rl_games_tpu.envs.jax.ant2d import Ant2D
+
+    return Ant2D()
+
+
+register("Ant2D", {"vecenv_type": "JAX", "env_creator": _create_ant2d})
+
+
 def register_test_envs():
     from rl_games_tpu.envs.jax import test_envs
 

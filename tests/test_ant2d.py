@@ -1,0 +1,76 @@
+"""Ant2D device-physics tests: energy sanity, stability, contract, learning
+signal direction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.envs.jax.ant2d import (
+    Ant2D,
+    Ant2DState,
+    kinetic_energy,
+    potential_energy,
+    NQ,
+)
+from rl_games_tpu.envs.jax.base import JaxVecEnv
+
+
+def test_energy_functions():
+    q = jnp.zeros(NQ).at[1].set(0.5)
+    qd = jnp.zeros(NQ)
+    assert float(kinetic_energy(q, qd)) == 0.0
+    qd2 = qd.at[0].set(1.0)  # translate everything at 1 m/s
+    total_mass = 1.0 + 8 * 0.15
+    np.testing.assert_allclose(
+        float(kinetic_energy(q, qd2)), 0.5 * total_mass, rtol=1e-5
+    )
+    # potential energy increases with height
+    q_hi = q.at[1].set(1.0)
+    assert float(potential_energy(q_hi)) > float(potential_energy(q))
+
+
+def test_mass_matrix_positive_definite():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = jnp.asarray(rng.normal(size=NQ), jnp.float32)
+        M = jax.hessian(kinetic_energy, argnums=1)(q, jnp.zeros(NQ))
+        eigs = np.linalg.eigvalsh(np.asarray(M))
+        assert eigs.min() > 0
+        np.testing.assert_allclose(np.asarray(M), np.asarray(M).T, atol=1e-5)
+
+
+def test_rollout_stable_no_nans():
+    env = JaxVecEnv(Ant2D(), num_envs=16)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (16, 26)
+
+    def roll(state, key):
+        def step(carry, _):
+            s, k = carry
+            k, ak = jax.random.split(k)
+            a = jax.random.uniform(ak, (16, 8), jnp.float32, -1.0, 1.0)
+            s, o, r, d, i = env.step(s, a)
+            return (s, k), (o, r)
+
+        (state, _), (obss, rews) = jax.lax.scan(
+            step, (state, key), None, length=100
+        )
+        return obss, rews
+
+    obss, rews = jax.jit(roll)(state, jax.random.PRNGKey(1))
+    assert not bool(jnp.isnan(obss).any())
+    assert not bool(jnp.isnan(rews).any())
+    assert float(jnp.abs(rews).max()) < 50.0  # bounded rewards
+
+
+def test_standing_still_beats_falling():
+    """Zero torque from the init pose should keep the ant alive (alive bonus
+    accrues) for a while — contacts must support the body."""
+    env = JaxVecEnv(Ant2D(), num_envs=8)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    alive_steps = 0
+    for _ in range(50):
+        state, obs, rew, done, info = env.step(state, jnp.zeros((8, 8)))
+        if not bool(done.any()):
+            alive_steps += 1
+    assert alive_steps > 30
