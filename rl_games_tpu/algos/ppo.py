@@ -205,6 +205,16 @@ class PPOAgent:
         self.games_to_track = config.get("games_to_track", 100)
         self.clip_actions = config.get("clip_actions", True)
         self.use_action_masks = config.get("use_action_masks", False)
+        # multi-agent: episode stats count each ENV once, at its first agent
+        # row (env_done_indices = all_done_indices[::num_agents],
+        # a2c_common.py:825-827)
+        if self.num_agents > 1:
+            n_rows = self.num_actors * self.num_agents
+            self._env_rows = (
+                jnp.arange(n_rows) % self.num_agents == 0
+            )
+        else:
+            self._env_rows = None
         self.save_freq = config.get("save_frequency", 0)
         self.save_best_after = config.get("save_best_after", 100)
         self.score_to_win = config.get("score_to_win", None)
@@ -260,8 +270,8 @@ class PPOAgent:
                 "minibatch_size",
                 self.num_actors * cv_cfg.get("minibatch_size_per_env", 0),
             )
-            self.cv_num_minibatches = (
-                self.horizon_length * self.num_actors // self.cv_minibatch_size
+            self.cv_num_minibatches = max(
+                1, self.batch_size // self.cv_minibatch_size
             )
             self.cv_clip_value = cv_cfg.get("clip_value", True)
             self.cv_e_clip = cv_cfg.get("e_clip", 0.2)
@@ -435,6 +445,8 @@ class PPOAgent:
             cur_sr = cur_sr + shaped
             cur_len = cur_len + 1.0
             done_mask = new_dones.astype(bool)
+            if self._env_rows is not None:
+                done_mask = done_mask & self._env_rows
             m_r = meters_update(m_r, cur_r, done_mask)
             m_sr = meters_update(m_sr, cur_sr, done_mask)
             m_len = meters_update(m_len, cur_len[:, None], done_mask)
@@ -839,6 +851,8 @@ class PPOAgent:
                 cur_sr = cur_sr + srew
                 cur_len = cur_len + 1.0
                 mask = dn.astype(bool)
+                if self._env_rows is not None:
+                    mask = mask & self._env_rows
                 m_r = meters_update(m_r, cur_r, mask)
                 m_sr = meters_update(m_sr, cur_sr, mask)
                 m_len = meters_update(m_len, cur_len[:, None], mask)

@@ -85,6 +85,26 @@ class JaxVecEnv:
         """Batched valid-action masks [N, num_actions] (jit/scan-safe)."""
         return jax.vmap(self.env.action_masks)(state.estate)
 
+    # -- IVecEnv parity surface (common/ivecenv.py:24-36) -------------------
+    def get_env_state(self, state: "VecEnvState"):
+        """Checkpointable env state (curricula). The device path stores the
+        whole VecEnvState inside the TrainState, so checkpoints carry it
+        automatically; this accessor exists for API parity."""
+        return state
+
+    def set_env_state(self, state, env_state):
+        return env_state
+
+    def set_train_info(self, frames, metrics):
+        """Curriculum hook: on-device envs receive difficulty through their
+        estate pytree instead; host envs may override."""
+
+    def set_weights(self, indices, weights):
+        """Self-play opponent update hook; env-specific envs override."""
+        raise NotImplementedError(
+            "this environment does not support self-play weight injection"
+        )
+
     def reset(self, key) -> Tuple[VecEnvState, Any]:
         keys = jax.random.split(key, self.num_envs + 1)
         estate, obs = jax.vmap(self.env.reset)(keys[1:])

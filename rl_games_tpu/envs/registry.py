@@ -103,6 +103,30 @@ def _create_ant2d():
 register("Ant2D", {"vecenv_type": "JAX", "env_creator": _create_ant2d})
 
 
+def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
+    from rl_games_tpu.envs.jax.multiagent import MultiAgentJaxVecEnv
+
+    env = cfg["env_creator"](**{**cfg.get("env_config", {}), **kwargs})
+    return MultiAgentJaxVecEnv(
+        env, num_actors, max_episode_steps=cfg.get("max_episode_steps")
+    )
+
+
+register_vecenv_type("JAX_MULTIAGENT", _create_multiagent_vecenv)
+
+
+def _create_coop_gather():
+    from rl_games_tpu.envs.jax.multiagent import CooperativeGather
+
+    return CooperativeGather()
+
+
+register(
+    "cooperative_gather",
+    {"vecenv_type": "JAX_MULTIAGENT", "env_creator": _create_coop_gather},
+)
+
+
 def register_test_envs():
     from rl_games_tpu.envs.jax import test_envs
 

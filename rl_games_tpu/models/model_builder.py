@@ -74,6 +74,9 @@ MODEL_REGISTRY.update(
         "continuous_a2c_logstd": _model_factory(
             models.ModelA2CContinuousLogStd, needs_space=True
         ),
+        "continuous_a2c_tanh": _model_factory(
+            models.ModelA2CContinuousTanh, needs_space=True
+        ),
         "central_value": _model_factory(models.ModelCentralValue),
     }
 )

@@ -206,6 +206,66 @@ class ModelA2CContinuous(BaseModel):
     kl = staticmethod(ModelA2CContinuousLogStd.kl)
 
 
+class ModelA2CContinuousTanh(BaseModel):
+    """'continuous_a2c_tanh' (models.py:351-407): Brax-style NormalTanh
+    policy — softplus-scaled std, tanh bijector with log-det-corrected
+    log-probs, sampled entropy."""
+
+    is_continuous = True
+
+    def __init__(self, network, *, space_cfg=None, **kw):
+        super().__init__(network, **kw)
+        sc = space_cfg or {}
+        self.min_std = float(sc.get("min_std", 0.001))
+
+    def _dist(self, net_out):
+        return D.NormalTanhDistribution(
+            net_out["mu"], net_out["sigma_raw"], min_std=self.min_std
+        )
+
+    def forward_train(
+        self, params, norm, obs, prev_actions, rnn_states=None, dones=None,
+        seq_length=1, entropy_key=None,
+    ):
+        out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
+        dist = self._dist(out)
+        if entropy_key is None:
+            entropy_key = jax.random.PRNGKey(0)
+        return {
+            "prev_neglogp": -dist.log_prob(prev_actions),
+            "values": out["value"],
+            "entropy": dist.entropy(entropy_key),
+            "rnn_states": out["rnn_states"],
+            "mus": dist.loc,
+            "sigmas": dist.scale,
+        }
+
+    def forward_play(
+        self, params, norm, key, obs, rnn_states=None, dones=None,
+        seq_length=1, deterministic: bool = False,
+    ):
+        out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
+        dist = self._dist(out)
+        if deterministic:
+            actions = dist.mode()
+            pre = dist.loc
+        else:
+            actions, pre = dist.sample(key)
+        return {
+            "neglogpacs": -dist.log_prob(actions, pre_tanh=pre),
+            "values": denorm_value(norm, out["value"]),
+            "actions": actions,
+            "rnn_states": out["rnn_states"],
+            "mus": dist.loc,
+            "sigmas": dist.scale,
+        }
+
+    @staticmethod
+    def kl(mu0, sigma0, mu1, sigma1):
+        # pre-tanh Gaussian KL — the tanh bijector cancels in the KL
+        return divergence.d_kl_normal((mu0, sigma0), (mu1, sigma1))
+
+
 class ModelA2C(BaseModel):
     """'discrete_a2c' (models.py:66-125) with CategoricalMasked support."""
 

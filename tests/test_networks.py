@@ -235,3 +235,29 @@ def test_torch_default_init_scale():
     bound = 1.0 / np.sqrt(100)
     assert np.abs(kernel).max() <= bound + 1e-6
     assert np.abs(kernel).max() > bound * 0.9
+
+
+def test_tanh_model_train_play_consistency():
+    """'continuous_a2c_tanh' (Brax-style NormalTanh policy)."""
+    params = {
+        "model": {"name": "continuous_a2c_tanh"},
+        "network": mlp_params(),
+    }
+    from rl_games_tpu.models.model_builder import ModelBuilder
+
+    model = ModelBuilder().load(params, actions_num=3, input_shape=(8,))
+    obs = jnp.asarray(np.random.default_rng(0).normal(size=(6, 8)), jnp.float32)
+    net_params, norm = model.init(jax.random.PRNGKey(0), obs)
+    play = model.forward_play(net_params, norm, jax.random.PRNGKey(1), obs)
+    assert np.abs(np.asarray(play["actions"])).max() <= 1.0  # tanh-squashed
+    train = model.forward_train(net_params, norm, obs, play["actions"])
+    np.testing.assert_allclose(
+        np.asarray(train["prev_neglogp"]), np.asarray(play["neglogpacs"]),
+        rtol=1e-3, atol=1e-3,
+    )
+    det = model.forward_play(
+        net_params, norm, jax.random.PRNGKey(2), obs, deterministic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(det["actions"]), np.tanh(np.asarray(det["mus"])), rtol=1e-5
+    )
