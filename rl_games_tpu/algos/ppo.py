@@ -196,7 +196,9 @@ class PPOAgent:
         self.normalize_input = config["normalize_input"]
         self.normalize_value = config.get("normalize_value", False)
         self.freeze_critic = config.get("freeze_critic", False)
-        self.value_bootstrap = config.get("value_bootstrap", False)
+        self.value_bootstrap = config.get("value_bootstrap", True)
+        self.use_smooth_clamp = config.get("use_smooth_clamp", False)
+        self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
         self.weight_decay = config.get("weight_decay", 0.0)
         self.learning_rate = float(config["learning_rate"])
         self.schedule_type = config.get("schedule_type", "legacy")
@@ -229,11 +231,13 @@ class PPOAgent:
 
         # --- model --------------------------------------------------------
         builder = model_builder.ModelBuilder()
+        model_obs_shape = self.obs_shape
+        if isinstance(model_obs_shape, dict) and "obs" in model_obs_shape:
+            model_obs_shape = model_obs_shape["obs"]
         self.model = builder.load(
             params,
             actions_num=self.actions_num,
-            input_shape=self.obs_shape if not isinstance(self.obs_shape, dict)
-            else self.obs_shape["obs"],
+            input_shape=model_obs_shape,
             value_size=self.value_size,
             normalize_input=self.normalize_input,
             normalize_value=self.normalize_value,
@@ -329,7 +333,7 @@ class PPOAgent:
             obs = jax.tree.map(jnp.asarray, self.vec_env.reset())
         else:
             env_state, obs = self.vec_env.reset(env_key)
-        example_obs = obs["obs"] if isinstance(obs, dict) else obs
+        example_obs = self._actor_obs(obs)
         n_envs = self.num_actors * self.num_agents
         rnn_states = (
             self.model.get_default_rnn_state(n_envs) if self.is_rnn else None
@@ -380,7 +384,12 @@ class PPOAgent:
     # pieces of the epoch program
     # ------------------------------------------------------------------
     def _actor_obs(self, obs):
-        return obs["obs"] if isinstance(obs, dict) else obs
+        """The actor's input: the 'obs' entry of the {'obs','states'}
+        asymmetric wrapper; a genuine dict observation space (custom
+        networks) passes through whole."""
+        if isinstance(obs, dict) and set(obs.keys()) <= {"obs", "states"}:
+            return obs["obs"]
+        return obs
 
     def _env_actions(self, actions):
         """Clip/rescale continuous actions for the env (a2c_common:1224-1234)."""
@@ -587,7 +596,9 @@ class PPOAgent:
         adv_rms = state.adv_rms
         if self.normalize_advantage:
             if self.normalize_rms_advantage:
-                adv_rms = moving_update(adv_rms, advantages)
+                adv_rms = moving_update(
+                    adv_rms, advantages, decay=self.adv_rms_momentum
+                )
                 advantages = moving_normalize(adv_rms, advantages)
             else:
                 advantages = L.normalize_advantage(advantages)
@@ -627,7 +638,10 @@ class PPOAgent:
             params, norm, self._actor_obs(mb["obses"]), mb["actions"],
             **rnn_kwargs,
         )
-        a_loss = L.actor_loss(
+        actor_loss_fn = (
+            L.smoothed_actor_loss if self.use_smooth_clamp else L.actor_loss
+        )
+        a_loss = actor_loss_fn(
             mb["old_logp_actions"], res["prev_neglogp"], mb["advantages"],
             self.ppo, self.e_clip,
         )
@@ -655,6 +669,10 @@ class PPOAgent:
             - entropy_coef * entropy_m
             + bounds_coef * b_loss_m
         )
+        # aux-loss hook: custom networks may emit an 'aux_losses' dict
+        # (get_aux_loss, a2c_continuous.py:194-202)
+        for v in (res.get("aux_losses") or {}).values():
+            total = total + v.mean()
         if self.is_continuous:
             kl = self.model.kl(
                 res["mus"], res["sigmas"], mb["mus"], mb["sigmas"]

@@ -101,6 +101,50 @@ class MemoryEnv(JaxEnv):
         }
 
 
+class DictObsMemoryEnv(MemoryEnv):
+    """MemoryEnv with Dict observations {'pos': 2, 'info': 4 (+ aux_target)}
+    (the reference's multi_obs_space variant, rnn_env.py:31-45)."""
+
+    def __init__(self, aux_loss=False, **kw):
+        super().__init__(**kw)
+        self.aux_loss = aux_loss
+
+    def env_info(self):
+        from rl_games_tpu.envs.spaces import DictSpace
+
+        spaces = {"pos": Box(shape=(2,)), "info": Box(shape=(4,))}
+        if self.aux_loss:
+            spaces["aux_target"] = Box(shape=(1,))
+        return EnvInfo(
+            observation_space=DictSpace.create(spaces),
+            action_space=Discrete(n=4),
+        )
+
+    def _split(self, obs, state=None):
+        out = {"pos": obs[:2], "info": obs[2:]}
+        if self.aux_loss:
+            if state is None:
+                target = jnp.zeros(1)
+            else:
+                bound = self.max_dist - self.min_dist
+                target = (
+                    ((state.goal - state.pos) ** 2).sum(keepdims=True)
+                    / bound**2
+                ).astype(jnp.float32)
+            out["aux_target"] = target
+        return out
+
+    def reset(self, key):
+        state, obs = super().reset(key)
+        return state, self._split(obs, state)
+
+    def step(self, estate, action, key):
+        state, obs, reward, terminated, info = super().step(
+            estate, action, key
+        )
+        return state, self._split(obs, state), reward, terminated, info
+
+
 class MaskedMemoryEnv(MemoryEnv):
     """MemoryEnv variant with action masking: moves along an axis are only
     valid while the agent hasn't overshot past +-max_dist on it — exercises

@@ -142,6 +142,10 @@ def register_test_envs():
         "test_masked_env",
         {"vecenv_type": "JAX", "env_creator": test_envs.MaskedMemoryEnv},
     )
+    register(
+        "test_dict_obs_env",
+        {"vecenv_type": "JAX", "env_creator": test_envs.DictObsMemoryEnv},
+    )
 
 
 try:  # keep test envs always available, like rl_games.envs.test

@@ -157,7 +157,7 @@ class ModelA2CContinuousLogStd(BaseModel):
     ):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
         mu, sigma, logstd = self._dist_params(out)
-        return {
+        result = {
             "prev_neglogp": D.normal_neglogp(prev_actions, mu, sigma, logstd),
             "values": out["value"],
             "entropy": D.normal_entropy(logstd),
@@ -165,6 +165,9 @@ class ModelA2CContinuousLogStd(BaseModel):
             "mus": mu,
             "sigmas": sigma,
         }
+        if "aux_losses" in out:
+            result["aux_losses"] = out["aux_losses"]
+        return result
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1,
@@ -277,13 +280,16 @@ class ModelA2C(BaseModel):
     ):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
         logits = out["logits"]
-        return {
+        result = {
             "prev_neglogp": D.categorical_neglogp(logits, prev_actions, action_masks),
             "values": out["value"],
             "entropy": D.categorical_entropy(logits, action_masks),
             "rnn_states": out["rnn_states"],
             "logits": D.categorical_log_probs(logits, action_masks),
         }
+        if "aux_losses" in out:
+            result["aux_losses"] = out["aux_losses"]
+        return result
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1,
