@@ -199,6 +199,12 @@ class PPOAgent:
         self.value_bootstrap = config.get("value_bootstrap", True)
         self.use_smooth_clamp = config.get("use_smooth_clamp", False)
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
+        # bf16 compute for the minibatch fwd/bwd with fp32 master params —
+        # the reference's autocast policy (a2c_continuous.py:172-178,
+        # torch_ext.default_mixed_precision). Default off: TPUs already run
+        # f32 matmuls through bf16 MXU passes, so this trades precision for
+        # bandwidth only when explicitly requested.
+        self.mixed_precision = config.get("mixed_precision", False)
         self.weight_decay = config.get("weight_decay", 0.0)
         self.learning_rate = float(config["learning_rate"])
         self.schedule_type = config.get("schedule_type", "legacy")
@@ -625,6 +631,14 @@ class PPOAgent:
 
     def _loss_and_kl(self, params, norm, mb, entropy_coef):
         """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
+        if self.mixed_precision:
+            # bf16 network compute; losses/stats stay f32 (bf16 keeps f32's
+            # exponent range, so no loss scaling — same as torch autocast)
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
         rnn_kwargs = {}
         if self.is_rnn:
             rnn_kwargs = dict(
@@ -638,6 +652,12 @@ class PPOAgent:
             params, norm, self._actor_obs(mb["obses"]), mb["actions"],
             **rnn_kwargs,
         )
+        if self.mixed_precision:
+            res = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                res,
+            )
         actor_loss_fn = (
             L.smoothed_actor_loss if self.use_smooth_clamp else L.actor_loss
         )

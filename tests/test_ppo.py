@@ -156,3 +156,15 @@ def test_multichip_matches_single_chip():
     np.testing.assert_allclose(
         float(m1["c_loss"]), float(mN["c_loss"]), rtol=1e-3, atol=1e-5
     )
+
+
+def test_mixed_precision_trains():
+    """bf16 compute with fp32 master params still learns CartPole."""
+    agent = PPOAgent("t", cartpole_params(mixed_precision=True))
+    state, m = run_epochs(agent, 60)
+    assert float(m["mean_rewards"][0]) > 60.0
+    # master params stayed f32
+    import jax
+
+    dtypes = {x.dtype for x in jax.tree.leaves(state.params)}
+    assert all(str(d) == "float32" for d in dtypes)
