@@ -189,6 +189,9 @@ class PPOAgent:
         self.critic_coef = config["critic_coef"]
         self.entropy_coef_init = config["entropy_coef"]
         self.bounds_loss_coef = config.get("bounds_loss_coef", None)
+        # 'bound' (squared excess beyond +-1.1) or 'regularisation' (sum of
+        # squared mus) — a2c_continuous.py:238-253
+        self.bound_loss_type = config.get("bound_loss_type", "bound")
         self.grad_norm = config["grad_norm"]
         self.truncate_grads = config.get("truncate_grads", False)
         self.normalize_advantage = config["normalize_advantage"]
@@ -675,7 +678,10 @@ class PPOAgent:
             c_loss = jnp.zeros_like(res["values"])
         entropy = res["entropy"]
         if self.is_continuous and self.bounds_loss_coef is not None:
-            b_loss = L.bound_loss(res["mus"])
+            if self.bound_loss_type == "regularisation":
+                b_loss = L.reg_loss(res["mus"])
+            else:
+                b_loss = L.bound_loss(res["mus"])
         else:
             b_loss = jnp.zeros_like(a_loss)
         a_loss_m = a_loss.mean()

@@ -160,3 +160,23 @@ def test_observers_compose():
     multi = MultiObserver([Probe(), None, Probe()])
     multi.after_epoch({"mean_scores": 1.0})
     assert len(calls) == 2
+
+
+# ---------------------------------------------------------------- experiment
+def test_experiment_grid():
+    from rl_games_tpu.common.experiment import Experiment
+
+    base = {"params": {"config": {"learning_rate": 1e-4, "gamma": 0.99}}}
+    exp = Experiment(
+        base,
+        [
+            {"name": "params.config.learning_rate", "values": [1e-4, 3e-4]},
+            {"name": "params.config.gamma", "values": [0.99, 0.995, 0.999]},
+        ],
+    )
+    cfgs = list(exp)
+    assert len(cfgs) == 6
+    lrs = {c["params"]["config"]["learning_rate"] for c in cfgs}
+    assert lrs == {1e-4, 3e-4}
+    # base untouched
+    assert base["params"]["config"]["gamma"] == 0.99
