@@ -87,8 +87,40 @@ class BasePlayer:
             return a * d + m
         return a
 
+    # -- evaluation mode (player.py:119-156): watch a directory for fresh
+    # training checkpoints and hot-reload weights between rollout chunks --
+    def maybe_load_new_checkpoint(self):
+        import glob
+        import os
+
+        dir_to_monitor = self.player_cfg.get("dir_to_monitor")
+        if not dir_to_monitor:
+            return False
+        ckpts = sorted(
+            glob.glob(os.path.join(dir_to_monitor, "*.ckpt")),
+            key=os.path.getmtime,
+        )
+        if not ckpts:
+            return False
+        latest = ckpts[-1]
+        mtime = os.path.getmtime(latest)
+        if getattr(self, "_last_ckpt", None) == (latest, mtime):
+            return False
+        try:
+            # tolerate partial/corrupt files: retry logic inside, and any
+            # failure leaves current weights in place (player.py:137-156)
+            self.restore(latest)
+            self._last_ckpt = (latest, mtime)
+            print(f"evaluation: reloaded checkpoint {latest}")
+            return True
+        except Exception as e:
+            print(f"evaluation: failed to load {latest}: {e}")
+            return False
+
     def run(self, games_num: Optional[int] = None, **_):
         games_num = games_num or self.games_num
+        if self.player_cfg.get("evaluation"):
+            self.maybe_load_new_checkpoint()
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
         env_state, obs = self.vec_env.reset(ekey)

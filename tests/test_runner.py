@@ -99,3 +99,28 @@ def test_seed_minus_one_randomizes():
     runner = Runner()
     runner.load(cfg)
     assert runner.seed != -1
+
+
+def test_evaluation_mode_checkpoint_watch(tmp_path):
+    """player 'evaluation' mode reloads the newest checkpoint from
+    dir_to_monitor (player.py:119-156)."""
+    import time
+
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=2)
+    runner = Runner()
+    runner.load(cfg)
+    runner.run({"train": True})
+    nn_dir = os.path.join(str(tmp_path), "cartpole_ppo", "nn")
+
+    cfg2 = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=2)
+    cfg2["params"]["config"]["player"] = {
+        "games_num": 4, "num_actors": 4, "deterministic": True,
+        "evaluation": True, "dir_to_monitor": nn_dir,
+    }
+    runner2 = Runner()
+    runner2.load(cfg2)
+    player = runner2.create_player()
+    assert player.maybe_load_new_checkpoint()  # picks up the fresh ckpt
+    assert not player.maybe_load_new_checkpoint()  # no newer one
+    reward = player.run()
+    assert np.isfinite(reward)
