@@ -88,13 +88,17 @@ _INERTIAS = jnp.asarray([TORSO_I] + [LINK_I] * (2 * N_LEGS))
 
 
 def kinetic_energy(q, qd):
-    """T(q, qd) = 1/2 Σ m v² + 1/2 Σ I ω² via body jacobians (autodiff)."""
-    coms_jac = jax.jacobian(lambda qq: _link_frames(qq)[0])(q)  # [9,2,NQ]
-    ang_jac = jax.jacobian(lambda qq: _link_frames(qq)[1])(q)  # [9,NQ]
-    v = coms_jac @ qd  # [9, 2]
-    w = ang_jac @ qd  # [9]
-    return 0.5 * jnp.sum(_MASSES[:, None] * v * v) + 0.5 * jnp.sum(
-        _INERTIAS * w * w
+    """T(q, qd) = 1/2 Σ m v² + 1/2 Σ I ω².
+
+    Body velocities come from a single jvp through the kinematics (one
+    forward+tangent pass) rather than materializing full jacobians — every
+    derivative taken OF this function (mass-matrix hessian, Coriolis jvp,
+    dT/dq) then differentiates a cheap primal, which is where the physics
+    throughput comes from.
+    """
+    _, (vcoms, vangles, _) = jax.jvp(_link_frames, (q,), (qd,))
+    return 0.5 * jnp.sum(_MASSES[:, None] * vcoms * vcoms) + 0.5 * jnp.sum(
+        _INERTIAS * vangles * vangles
     )
 
 

@@ -66,3 +66,24 @@ def ppo_state_shardings(state, mesh: Mesh):
 def replicated_shardings(tree, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     return jax.tree.map(lambda _: repl, tree)
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host setup: the torchrun/NCCL-env-var analog (SURVEY.md §2.6).
+
+    On TPU pods the runtime autodetects everything — call with no arguments
+    on every host before building the mesh; `create_mesh(jax.devices())`
+    then spans the pod slice and the same jitted epoch runs across hosts
+    with gradient psums on ICI and host-local env shards feeding the 'data'
+    axis. Explicit arguments cover CPU/GPU clusters.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
