@@ -1,0 +1,57 @@
+"""Policy export/reload roundtrip (the reference's ONNX-export parity,
+algos_torch/flatten.py + notebooks) via jax.export / StableHLO."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.models.model_builder import ModelBuilder
+from rl_games_tpu.utils.export import export_policy, load_policy
+from tests.test_networks import mlp_params
+
+
+def test_export_roundtrip_continuous(tmp_path):
+    params = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": mlp_params(),
+    }
+    model = ModelBuilder().load(
+        params, actions_num=3, input_shape=(8,),
+        normalize_input=True, normalize_value=True,
+    )
+    obs = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)), jnp.float32)
+    net_params, norm = model.init(jax.random.PRNGKey(0), obs)
+
+    blob = export_policy(model, net_params, norm, obs)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+
+    policy = load_policy(blob)
+    out = np.asarray(policy(obs))
+    expected = np.asarray(
+        model.forward_play(
+            net_params, norm, jax.random.PRNGKey(0), obs, deterministic=True
+        )["actions"]
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+    # symbolic batch dim: different batch size works on the SAME artifact
+    obs2 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(9, 8)), jnp.float32
+    )
+    out2 = np.asarray(policy(obs2))
+    assert out2.shape == (9, 3)
+
+
+def test_export_discrete(tmp_path):
+    params = {
+        "model": {"name": "discrete_a2c"},
+        "network": mlp_params(space="discrete"),
+    }
+    model = ModelBuilder().load(params, actions_num=5, input_shape=(6,))
+    obs = jnp.ones((2, 6))
+    net_params, norm = model.init(jax.random.PRNGKey(0), obs)
+    policy = load_policy(export_policy(model, net_params, norm, obs))
+    actions = np.asarray(policy(obs))
+    assert actions.shape == (2,)
+    assert actions.dtype in (np.int32, np.int64)
