@@ -298,6 +298,16 @@ class PPOAgent:
         # with a central value net the actor model's own value head carries no
         # loss (a2c_continuous.py:75)
         self.has_value_loss = not self.has_central_value
+        if self.has_central_value and self.is_host_env:
+            raise NotImplementedError(
+                "central value over host envs is not wired yet — use the "
+                "device (JAX) env path for asymmetric actor-critic"
+            )
+        if config.get("use_action_masks", False) and self.is_host_env:
+            raise NotImplementedError(
+                "action masks over host envs are not wired yet — use the "
+                "device (JAX) env path"
+            )
 
         # --- RNN wiring (a2c_common.py:229-240, 507-529) --------------------
         self.is_rnn = self.model.is_rnn()
