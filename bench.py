@@ -40,15 +40,18 @@ def main():
     state, metrics = train_fn(state)
     float(metrics["a_loss"])
 
-    # NOTE: timing uses an explicit host readback (float(...)) each epoch —
-    # under the remote-TPU relay, block_until_ready can return before the
-    # computation actually finished; a scalar D2H transfer cannot.
-    n_epochs = 20
+    # NOTE: epochs are CHAINED (state feeds the next call) with ONE host
+    # readback at the end — the readback forces completion of the whole
+    # chain (same device stream), so the measurement is honest while not
+    # counting the per-call host<->device round-trip latency (~30 ms under
+    # the remote-TPU relay) against device throughput.  block_until_ready
+    # alone is NOT sufficient under the relay; the scalar D2H transfer is.
+    n_epochs = 30
     frames_per_epoch = agent.batch_size
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         state, metrics = train_fn(state)
-        float(metrics["a_loss"])
+    float(metrics["a_loss"])
     dt = time.perf_counter() - t0
 
     fps = n_epochs * frames_per_epoch / dt
