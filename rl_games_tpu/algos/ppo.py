@@ -201,7 +201,10 @@ class PPOAgent:
         self.freeze_critic = config.get("freeze_critic", False)
         self.value_bootstrap = config.get("value_bootstrap", True)
         self.use_smooth_clamp = config.get("use_smooth_clamp", False)
+        self.use_diagnostics = config.get("use_diagnostics", False)
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
+        self._rollout_time = None  # calibrated under use_diagnostics
+        self._last_timing = None  # host-path real split
         # bf16 compute for the minibatch fwd/bwd with fp32 master params —
         # the reference's autocast policy (a2c_continuous.py:172-178,
         # torch_ext.default_mixed_precision). Default off: TPUs already run
@@ -307,6 +310,20 @@ class PPOAgent:
             raise NotImplementedError(
                 "action masks over host envs are not wired yet — use the "
                 "device (JAX) env path"
+            )
+        if (
+            self.is_host_env
+            and getattr(self.vec_env, "autoreset_mode", "same_step")
+            == "next_step"
+        ):
+            # next_step autoreset injects a post-done garbage row (stale
+            # final obs + no-op action + zero reward) into the on-policy
+            # dataset; the reference avoids it by resetting inside the
+            # worker (RayWorker, common/vecenv.py:70-178). Use same_step.
+            raise ValueError(
+                "PPO host rollout requires same_step autoreset "
+                "(reset-on-done); construct the vec env with "
+                "autoreset_mode='same_step'"
             )
 
         # --- RNN wiring (a2c_common.py:229-240, 507-529) --------------------
@@ -595,6 +612,11 @@ class PPOAgent:
         if self.normalize_input:
             norm = M.update_obs_stats(norm, self._actor_obs(dataset["obses"]))
         cv_norm = state.cv_norm
+        # value-normalizer parity: the reference runs TWO sequential
+        # train-mode forwards — value_mean_std(values) then
+        # value_mean_std(returns) (a2c_common.py:1325-1332) — so stats
+        # advance from both batches and returns normalize with the
+        # post-values stats; freeze_critic switches to eval mode (:1324)
         if self.has_central_value:
             # the value normalizer lives on the central net
             # (a2c_continuous.py:73); its obs normalizer sees states
@@ -604,11 +626,15 @@ class PPOAgent:
                 if not self.freeze_critic:
                     cv_norm = M.update_value_stats(cv_norm, values)
                 values = M.normalize_values(cv_norm, values)
+                if not self.freeze_critic:
+                    cv_norm = M.update_value_stats(cv_norm, returns)
                 returns = M.normalize_values(cv_norm, returns)
         elif self.normalize_value:
             if not self.freeze_critic:
                 norm = M.update_value_stats(norm, values)
             values = M.normalize_values(norm, values)
+            if not self.freeze_critic:
+                norm = M.update_value_stats(norm, returns)
             returns = M.normalize_values(norm, returns)
 
         advantages = advantages.sum(axis=1)  # [B] (a2c_common:1334)
@@ -819,17 +845,33 @@ class PPOAgent:
                 lr, ec = self.scheduler.update(
                     lr, ec, state.epoch, state.frame, ep_kl
                 )
+            diag = metrics_acc.pop("_diag", None)
             metrics_acc = jax.tree.map(
                 lambda acc, m: acc + m.mean() / self.mini_epochs_num,
                 metrics_acc,
                 ms,
             )
+            if diag is not None:
+                # per-miniepoch diagnostics (PpoDiagnostics,
+                # diagnostics.py:18-60): clip-frac and kl per mini-epoch
+                diag = {
+                    "kl": diag["kl"].at[ep].set(ms["kl"].mean()),
+                    "clip_frac": diag["clip_frac"].at[ep].set(
+                        ms["clip_frac"].mean()
+                    ),
+                }
+                metrics_acc["_diag"] = diag
             return (params, opt_state, ds, lr, ec, rng, metrics_acc)
 
         metrics0 = {
             k: jnp.zeros((), jnp.float32)
             for k in ("a_loss", "c_loss", "entropy", "b_loss", "kl", "clip_frac")
         }
+        if self.use_diagnostics:
+            metrics0["_diag"] = {
+                "kl": jnp.zeros(self.mini_epochs_num, jnp.float32),
+                "clip_frac": jnp.zeros(self.mini_epochs_num, jnp.float32),
+            }
         carry = (
             state.params, state.opt_state, dataset, state.lr,
             state.entropy_coef, state.rng, metrics0,
@@ -942,6 +984,14 @@ class PPOAgent:
         metrics["explained_variance"] = MK.explained_variance(
             dataset["old_values"].reshape(-1), dataset["returns"].reshape(-1)
         )
+        if self.use_diagnostics and "_diag" in metrics:
+            # normalizer state diagnostics (diagnostics.py:41-55)
+            if self.normalize_input and not isinstance(state.norm.obs, dict):
+                metrics["_diag"]["obs_rms_mean"] = state.norm.obs.mean.mean()
+                metrics["_diag"]["obs_rms_var"] = state.norm.obs.var.mean()
+            if self.normalize_value and state.norm.value is not None:
+                metrics["_diag"]["value_rms_mean"] = state.norm.value.mean.mean()
+                metrics["_diag"]["value_rms_var"] = state.norm.value.var.mean()
         if cval_loss is not None:
             metrics["cval_loss"] = cval_loss
         state = state.replace(
@@ -950,6 +1000,7 @@ class PPOAgent:
         )
         metrics = dict(metrics)
         metrics["lr"] = state.lr
+        metrics["e_clip"] = jnp.asarray(self.e_clip, jnp.float32)
         metrics["entropy_coef"] = state.entropy_coef
         metrics["mean_rewards"] = meters_mean(state.game_rewards)
         metrics["mean_shaped_rewards"] = meters_mean(state.game_shaped_rewards)
@@ -1002,6 +1053,8 @@ class PPOAgent:
         rng = state.rng
         traj_steps = []
         snapshots = []
+        step_time = 0.0  # pure env-step time (a2c_common.py:806-810)
+        t_play0 = time.perf_counter()
         for t in range(self.horizon_length):
             if self.is_rnn and t % self.seq_length == 0:
                 snapshots.append(rnn_states)
@@ -1011,7 +1064,9 @@ class PPOAgent:
                 akey, obs, dones, rnn_states,
             )
             actions_np = np.asarray(res["env_actions"])
+            t0 = time.perf_counter()
             next_obs, rewards, new_dones, infos = self.vec_env.step(actions_np)
+            step_time += time.perf_counter() - t0
             rewards = np.asarray(rewards, np.float32)
             if rewards.ndim == 1:
                 rewards = rewards[:, None]
@@ -1054,7 +1109,12 @@ class PPOAgent:
         state = state.replace(
             obs=obs, dones=dones, rng=rng, rnn_states=rnn_states
         )
-        return finish(state, traj, last_values, rnn_snapshots)
+        play_time = time.perf_counter() - t_play0
+        out = finish(state, traj, last_values, rnn_snapshots)
+        # the reference's three-way timing split (a2c_common.py:399-404):
+        # step (pure env) / play (env + inference) / update
+        self._last_timing = {"step_time": step_time, "play_time": play_time}
+        return out
 
     # ------------------------------------------------------------------
     # compiled entry points
@@ -1096,6 +1156,37 @@ class PPOAgent:
     # weights / full-state surface (BaseAlgorithm contract,
     # interfaces/base_algorithm.py:5-49)
     # ------------------------------------------------------------------
+    def _calibrate_rollout_time(self, state) -> float:
+        """Time a jitted rollout-only program once (use_diagnostics device
+        path) so the reference's step/inference/update fps split
+        (a2c_common.py:399-404) can be reported for the fused epoch."""
+        ro = jax.jit(
+            lambda s: jax.tree.leaves(self._rollout(s)[1])[0].sum()
+        )
+        float(ro(state))  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(ro(state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def clear_stats(self, state: PPOTrainState) -> PPOTrainState:
+        """Reset episode meters + accumulators (algo.clear_stats,
+        a2c_common.py:645-648) — e.g. after a self-play opponent push so the
+        threshold re-arms on fresh games."""
+        n = self.num_actors * self.num_agents
+        v = self.value_size
+        return state.replace(
+            current_rewards=jnp.zeros((n, v), jnp.float32),
+            current_shaped_rewards=jnp.zeros((n, v), jnp.float32),
+            current_lengths=jnp.zeros(n, jnp.float32),
+            game_rewards=meters_init(self.games_to_track, v),
+            game_shaped_rewards=meters_init(self.games_to_track, v),
+            game_lengths=meters_init(self.games_to_track, 1),
+            game_scores=meters_init(self.games_to_track, 1),
+        )
+
     def get_weights(self, state: PPOTrainState):
         """Model weights + normalizer stats (a2c_common.py:690-710)."""
         return {"params": state.params, "norm": state.norm}
@@ -1135,9 +1226,23 @@ class PPOAgent:
 
         if writer is None:
             writer = create_writer(summaries_dir)
+        interval_writer = None
+        pbt_cfg_dict = self.config.get("pbt") or {}
+        if pbt_cfg_dict.get("enabled"):
+            # PBT-scale runs throttle TB writes (auto-enable, the
+            # reference's a2c_common.py:326-328)
+            from rl_games_tpu.utils.writer import IntervalSummaryWriter
+
+            interval_writer = IntervalSummaryWriter(
+                writer, self.config.get("interval_summary", {})
+            )
+            writer = interval_writer
         self.writer = writer
         observer = (self.config.get("features") or {}).get("observer")
         if observer is not None:
+            observer.before_init(
+                self.base_name, self.config, experiment_name
+            )
             observer.after_init(self)
         # self-play (a2c_common has_self_play_config path) and PBT wiring
         self_play_manager = None
@@ -1148,7 +1253,6 @@ class PPOAgent:
                 self.config["self_play_config"], writer
             )
         pbt_manager = None
-        pbt_cfg_dict = self.config.get("pbt") or {}
         if pbt_cfg_dict.get("enabled"):
             from rl_games_tpu.utils.pbt import PbtCfg, PbtManager
 
@@ -1165,33 +1269,111 @@ class PPOAgent:
         train_fn = self.make_train_fn(mesh=mesh)
         max_epochs = self.max_epochs if max_epochs is None else max_epochs
 
+        if (
+            self.use_diagnostics
+            and not self.is_host_env
+            and self._rollout_time is None
+        ):
+            self._rollout_time = self._calibrate_rollout_time(state)
+
+        # metrics reach the host only every `log_interval` epochs: under a
+        # remote relay a device_get costs a ~30 ms round trip, which would
+        # dominate fused epochs that take ~10 ms of device time. Loop
+        # control stays host-side (epoch/frame advance deterministically).
+        log_interval = max(1, int(config.get("log_interval", 1)))
+        epoch_num = int(jax.device_get(state.epoch))
+        frame = epoch_num * self.batch_size
+
         start_time = time.perf_counter()
+        t_last_log = start_time
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
-            t0 = time.perf_counter()
-            state, metrics = train_fn(state)
-            metrics = jax.device_get(metrics)
-            epoch_time = time.perf_counter() - t0
+            state, metrics_dev = train_fn(state)
+            epoch_num += 1
+            frame += self.batch_size
+            will_exit = (
+                (max_epochs > 0 and epoch_num >= max_epochs)
+                or (self.max_frames > 0 and frame >= self.max_frames)
+            )
+            do_log = (epoch_num % log_interval == 0) or will_exit
+            save_due = (
+                self.save_freq > 0 and epoch_num % self.save_freq == 0
+            )
+            if not (do_log or save_due):
+                continue
             total_time = time.perf_counter() - start_time
-
-            epoch_num = int(metrics["epoch"])
-            frame = int(metrics["frame"])
+            if not do_log:
+                meta = {
+                    "last_mean_rewards": last_mean_rewards,
+                    "epoch": epoch_num,
+                    "frame": frame,
+                }
+                ckpt.save_checkpoint(
+                    os.path.join(
+                        nn_dir, f"last_{experiment_name}_ep_{epoch_num}.ckpt"
+                    ),
+                    state, meta, weights=self.get_weights(state),
+                )
+                continue
+            metrics = jax.device_get(metrics_dev)
+            now = time.perf_counter()
+            epoch_time = (now - t_last_log) / log_interval
+            t_last_log = now
             fps_total = self.batch_size / max(epoch_time, 1e-9)
+            timing = getattr(self, "_last_timing", None)
+            if timing is not None:
+                # host path: exact split (a2c_common.py:399-404)
+                fps_step = self.batch_size / max(timing["step_time"], 1e-9)
+                fps_inference = self.batch_size / max(
+                    timing["play_time"], 1e-9
+                )
+            elif self._rollout_time is not None:
+                # device path: rollout time calibrated once against a
+                # jitted rollout-only program (the fused epoch cannot be
+                # timed from inside); env vs inference is not separable
+                fps_inference = fps_step = self.batch_size / max(
+                    self._rollout_time, 1e-9
+                )
+            else:
+                fps_inference = fps_step = fps_total
             write_ppo_stats(
                 writer, metrics, frame, epoch_num, total_time, fps_total,
-                fps_total, self.value_size,
+                fps_step, self.value_size, fps_inference=fps_inference,
             )
             writer.add_scalar(
                 "info/explained_variance",
                 float(metrics["explained_variance"]), frame,
             )
+            diag = metrics.get("_diag")
+            if diag is not None:
+                for i in range(self.mini_epochs_num):
+                    writer.add_scalar(
+                        f"diagnostics/kl/{i}", float(diag["kl"][i]), frame
+                    )
+                    writer.add_scalar(
+                        f"diagnostics/clip_frac/{i}",
+                        float(diag["clip_frac"][i]), frame,
+                    )
+                for k in ("obs_rms_mean", "obs_rms_var", "value_rms_mean",
+                          "value_rms_var"):
+                    if k in diag:
+                        writer.add_scalar(
+                            f"diagnostics/{k}", float(diag[k]), frame
+                        )
             if observer is not None:
                 observer.after_epoch(metrics)
                 observer.after_print_stats(frame, epoch_num, total_time)
             if self_play_manager is not None:
-                self_play_manager.update(self, state, metrics)
+                if self_play_manager.update(self, state, metrics):
+                    # re-arm the threshold on fresh games
+                    # (self_play_manager.py: algo.clear_stats())
+                    state = self.clear_stats(state)
+                    if observer is not None:
+                        observer.after_clear_stats()
             if pbt_manager is not None:
                 state = pbt_manager.step(self, state, metrics)
+            if interval_writer is not None:
+                interval_writer.tick()
             if config.get("print_stats", True):
                 print(
                     f"fps total: {fps_total:.0f} epoch: {epoch_num}"
@@ -1214,7 +1396,7 @@ class PPOAgent:
                 "frame": frame,
             }
 
-            if self.save_freq > 0 and epoch_num % self.save_freq == 0:
+            if save_due:
                 ckpt.save_checkpoint(
                     os.path.join(
                         nn_dir, f"last_{experiment_name}_ep_{epoch_num}.ckpt"
@@ -1239,13 +1421,11 @@ class PPOAgent:
                 ):
                     print("Maximum reward achieved. Network won!")
                     break
-            should_exit = False
+            should_exit = will_exit
             if max_epochs > 0 and epoch_num >= max_epochs:
                 print("MAX EPOCHS NUM!")
-                should_exit = True
             if self.max_frames > 0 and frame >= self.max_frames:
                 print("MAX FRAMES NUM!")
-                should_exit = True
             if stop_fn is not None and stop_fn(self):
                 print("Custom stop condition met!")
                 should_exit = True
@@ -1264,4 +1444,4 @@ class PPOAgent:
 
         writer.flush()
         self.last_state = state
-        return last_mean_rewards, int(metrics["epoch"])
+        return last_mean_rewards, epoch_num

@@ -212,6 +212,10 @@ class SACAgent:
         self.init_alpha = float(config["init_alpha"])
         self.learnable_temperature = config["learnable_temperature"]
         self.replay_buffer_size = config["replay_buffer_size"]
+        # full replay buffer in checkpoints is opt-in (the reference stores
+        # it optionally, sac_agent.py:312-313; it is multi-GB for MuJoCo
+        # obs dims and dominates checkpoint time when on)
+        self.save_replay_buffer = config.get("replay_buffer_checkpoint", False)
         self.normalize_input = config.get("normalize_input", False)
         self.policy_frequency = config.get("policy_frequency", 2)
         self.critic_grad_clip = config.get("critic_grad_clip", 5.0)
@@ -650,30 +654,64 @@ class SACAgent:
             )
             return state, metrics
 
-        # no donation: obs_vec aliases state.obs in the argument list
-        return jax.jit(act), jax.jit(ingest_and_update)
+        def ingest_update_act(state, obs_vec, env_actions, shaped, final_obs,
+                              hard_done, time_outs, next_obs_vec, rewards,
+                              dones, valid, warmup):
+            """ONE dispatch per env step: ingest the PREVIOUS transition,
+            run the UTD updates, then act on the current obs with the
+            updated params. Under a remote relay each dispatch costs a
+            ~30 ms round trip, so the act/ingest split of the naive loop
+            dominated wall time; the fusion preserves the reference's
+            ordering exactly (updates from transition t-1 always happened
+            before acting at t, sac_agent.py:664-745)."""
+            state, metrics = ingest_and_update(
+                state, obs_vec, env_actions, shaped, final_obs, hard_done,
+                time_outs, next_obs_vec, rewards, dones, valid,
+            )
+            rng, akey = jax.random.split(state.rng)
+            state = state.replace(rng=rng, obs=next_obs_vec)
+            actions = act(
+                state.actor_params, state.obs_rms, akey, next_obs_vec, warmup
+            )
+            return state, metrics, actions
+
+        def first_act(state, warmup):
+            rng, akey = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            actions = act(
+                state.actor_params, state.obs_rms, akey,
+                self._actor_obs(state.obs), warmup,
+            )
+            return state, actions
+
+        # no donation: the pending transition's obs_vec aliases the previous
+        # state.obs buffer, so donating state could invalidate it
+        return jax.jit(ingest_update_act), jax.jit(first_act)
 
     def host_train_epoch(self, state: SACTrainState):
         if not hasattr(self, "_host_fns"):
             self._host_fns = self._make_host_fns()
-        act, ingest_and_update = self._host_fns
+            self._pending = None
+        ingest_update_act, first_act = self._host_fns
 
-        metrics = _zero_metrics()
-        warmup = int(state.epoch) < self.num_warmup_steps
+        metrics = self._last_host_metrics = getattr(
+            self, "_last_host_metrics", _zero_metrics()
+        )
+        warmup = jnp.asarray(int(state.epoch) < self.num_warmup_steps)
         autoreset_mode = getattr(self.vec_env, "autoreset_mode", "same_step")
         if not hasattr(self, "_host_prev_dones"):
             self._host_prev_dones = np.zeros(self.num_actors, bool)
         for _ in range(self.num_steps_per_episode):
-            rng, akey = jax.random.split(state.rng)
-            state = state.replace(rng=rng)
-            obs_vec = self._actor_obs(state.obs)
-            env_actions = act(
-                state.actor_params, state.obs_rms, akey, obs_vec,
-                jnp.asarray(warmup),
-            )
+            if self._pending is None:
+                state, env_actions = first_act(state, warmup)
+            else:
+                state, metrics, env_actions = ingest_update_act(
+                    state, *self._pending, warmup
+                )
             next_obs, rewards, dones, infos = self.vec_env.step(
                 np.asarray(env_actions)
             )
+            obs_vec = self._actor_obs(state.obs)
             rewards = jnp.asarray(rewards, jnp.float32).reshape(self.num_actors)
             shaped = self.rewards_shaper(rewards)
             dones_j = jnp.asarray(dones)
@@ -693,13 +731,13 @@ class SACAgent:
                 self._host_prev_dones = np.asarray(dones)
             else:
                 valid = jnp.ones(self.num_actors, bool)
-            state, metrics = ingest_and_update(
-                state, obs_vec, env_actions, shaped, final_obs, hard_done,
+            self._pending = (
+                obs_vec, env_actions, shaped, final_obs, hard_done,
                 time_outs, next_obs_j, rewards, dones_j, valid,
             )
-            state = state.replace(obs=next_obs_j)
 
         state = state.replace(epoch=state.epoch + 1)
+        self._last_host_metrics = metrics
         out = dict(metrics)
         out["alpha"] = self._alpha(state.log_alpha)
         out["mean_rewards"] = meters_mean(state.game_rewards)
@@ -716,6 +754,27 @@ class SACAgent:
             "critic_params": state.critic_params,
             "obs_rms": state.obs_rms,
         }
+
+    def _ckpt_state(self, state: SACTrainState) -> SACTrainState:
+        """State as checkpointed: replay stripped to a 1-slot stub unless
+        `replay_buffer_checkpoint` is on."""
+        if self.save_replay_buffer:
+            return state
+        return state.replace(
+            replay=replay_init(1, self.obs_shape, self.action_dim)
+        )
+
+    def _restore(self, checkpoint: str, state: SACTrainState):
+        from rl_games_tpu.utils import checkpoint as ckpt
+
+        meta = ckpt.peek_meta(checkpoint)
+        if meta.get("has_replay", True):
+            return ckpt.load_checkpoint(checkpoint, state)
+        stripped = state.replace(
+            replay=replay_init(1, self.obs_shape, self.action_dim)
+        )
+        loaded, meta = ckpt.load_checkpoint(checkpoint, stripped)
+        return loaded.replace(replay=state.replay), meta
 
     # ------------------------------------------------------------------
     # host train loop (sac_agent.py:753-852)
@@ -735,56 +794,89 @@ class SACAgent:
         state = self.init_state()
         last_mean_rewards = -100500.0
         if checkpoint:
-            state, meta = ckpt.load_checkpoint(checkpoint, state)
+            state, meta = self._restore(checkpoint, state)
             last_mean_rewards = meta.get("last_mean_rewards", last_mean_rewards)
         if writer is None:
             writer = create_writer(summaries_dir)
         train_fn = self.make_train_fn(mesh=mesh)
         max_epochs = self.max_epochs if max_epochs is None else max_epochs
 
+        # metrics are read back to the host only every `log_interval`
+        # epochs — under a remote relay each device_get costs a ~30 ms
+        # round trip, which would dominate epochs that are only a few ms
+        # of device/env time. Epoch/frame counters advance
+        # deterministically, so loop control stays host-side.
+        log_interval = max(1, int(config.get("log_interval", 1)))
+        epoch_num = int(jax.device_get(state.epoch))
+        frame = epoch_num * self.num_frames_per_epoch
+
         start_time = time.perf_counter()
+        t_last_log = start_time
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
-            t0 = time.perf_counter()
-            state, metrics = train_fn(state)
-            metrics = jax.device_get(metrics)
-            epoch_time = time.perf_counter() - t0
+            state, metrics_dev = train_fn(state)
+            epoch_num += 1
+            frame += self.num_frames_per_epoch
             total_time = time.perf_counter() - start_time
 
-            epoch_num = int(metrics["epoch"])
-            frame = int(metrics["frame"])
-            fps = self.num_frames_per_epoch / max(epoch_time, 1e-9)
-            games_played = int(metrics["games_played"])
-            mean_rewards = (
-                float(metrics["mean_rewards"][0]) if games_played else None
+            will_exit = (
+                (max_epochs > 0 and epoch_num >= max_epochs)
+                or (self.max_frames > 0 and frame >= self.max_frames)
             )
-            for key in ("critic_loss", "actor_loss", "entropy", "alpha",
-                        "alpha_loss", "critic1_loss", "critic2_loss"):
-                writer.add_scalar(f"losses/{key}", float(metrics[key]), frame)
-            writer.add_scalar("performance/step_fps", fps, frame)
-            if mean_rewards is not None:
-                writer.add_scalar("rewards/step", mean_rewards, frame)
-                writer.add_scalar("rewards/iter", mean_rewards, epoch_num)
-                writer.add_scalar(
-                    "episode_lengths/step", float(metrics["mean_lengths"]), frame
+            do_log = (epoch_num % log_interval == 0) or will_exit
+            if not do_log:
+                mean_rewards = None
+                if stop_fn is not None and stop_fn(self):
+                    will_exit = do_log = True
+            if do_log:
+                metrics = jax.device_get(metrics_dev)
+                now = time.perf_counter()
+                fps = (
+                    log_interval * self.num_frames_per_epoch
+                    / max(now - t_last_log, 1e-9)
                 )
-            if config.get("print_stats", True):
-                print(
-                    f"fps: {fps:.0f} epoch: {epoch_num} frames: {frame}"
-                    + (f" rew: {mean_rewards:.2f}" if mean_rewards is not None else "")
+                t_last_log = now
+                games_played = int(metrics["games_played"])
+                mean_rewards = (
+                    float(metrics["mean_rewards"][0]) if games_played else None
                 )
+                for key in ("critic_loss", "actor_loss", "entropy", "alpha",
+                            "alpha_loss", "critic1_loss", "critic2_loss"):
+                    writer.add_scalar(
+                        f"losses/{key}", float(metrics[key]), frame
+                    )
+                writer.add_scalar("performance/step_fps", fps, frame)
+                if mean_rewards is not None:
+                    writer.add_scalar("rewards/step", mean_rewards, frame)
+                    writer.add_scalar("rewards/iter", mean_rewards, epoch_num)
+                    writer.add_scalar(
+                        "episode_lengths/step",
+                        float(metrics["mean_lengths"]), frame,
+                    )
+                if config.get("print_stats", True):
+                    print(
+                        f"fps: {fps:.0f} epoch: {epoch_num} frames: {frame}"
+                        + (
+                            f" rew: {mean_rewards:.2f}"
+                            if mean_rewards is not None
+                            else ""
+                        ),
+                        flush=True,
+                    )
 
             meta = {
                 "last_mean_rewards": last_mean_rewards,
                 "epoch": epoch_num,
                 "frame": frame,
+                "has_replay": self.save_replay_buffer,
             }
             if self.save_freq > 0 and epoch_num % self.save_freq == 0:
                 ckpt.save_checkpoint(
                     os.path.join(
                         nn_dir, f"last_{experiment_name}_ep_{epoch_num}.ckpt"
                     ),
-                    state, meta, weights=self.get_weights(state),
+                    self._ckpt_state(state), meta,
+                    weights=self.get_weights(state),
                 )
             if (
                 mean_rewards is not None
@@ -794,7 +886,8 @@ class SACAgent:
                 last_mean_rewards = mean_rewards
                 meta["last_mean_rewards"] = last_mean_rewards
                 ckpt.save_checkpoint(
-                    best_path, state, meta, weights=self.get_weights(state)
+                    best_path, self._ckpt_state(state), meta,
+                    weights=self.get_weights(state),
                 )
                 if (
                     self.score_to_win is not None
@@ -802,24 +895,23 @@ class SACAgent:
                 ):
                     print("Maximum reward achieved. Network won!")
                     break
-            should_exit = False
+            should_exit = will_exit
             if max_epochs > 0 and epoch_num >= max_epochs:
                 print("MAX EPOCHS NUM!")
-                should_exit = True
             if self.max_frames > 0 and frame >= self.max_frames:
                 print("MAX FRAMES NUM!")
-                should_exit = True
-            if stop_fn is not None and stop_fn(self):
+            if do_log and stop_fn is not None and stop_fn(self):
                 should_exit = True
             if should_exit:
                 ckpt.save_checkpoint(
                     os.path.join(
                         nn_dir, f"last_{experiment_name}_ep_{epoch_num}.ckpt"
                     ),
-                    state, meta, weights=self.get_weights(state),
+                    self._ckpt_state(state), meta,
+                    weights=self.get_weights(state),
                 )
                 break
 
         writer.flush()
         self.last_state = state
-        return last_mean_rewards, int(metrics["epoch"])
+        return last_mean_rewards, epoch_num

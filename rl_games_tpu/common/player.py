@@ -61,8 +61,12 @@ class BasePlayer:
             normalize_value=config.get("normalize_value", False),
             obs_shape=self.obs_shape,
         )
+        self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         rng = jax.random.PRNGKey(self.seed)
-        _, obs = self.vec_env.reset(rng)
+        if self.is_host_env:
+            obs = jnp.asarray(self.vec_env.reset())
+        else:
+            _, obs = self.vec_env.reset(rng)
         example = obs["obs"] if isinstance(obs, dict) else obs
         self.net_params, self.norm = self.model.init(rng, example)
 
@@ -117,10 +121,50 @@ class BasePlayer:
             print(f"evaluation: failed to load {latest}: {e}")
             return False
 
+    def _host_run(self, games_num: int, act_fn):
+        """Host-env evaluation loop (the reference player runs everywhere,
+        common/player.py:274-393): jitted policy inference, non-jittable
+        env stepping, episode accounting on the host."""
+        obs = jnp.asarray(self.vec_env.reset())
+        n = self.num_actors
+        cur = np.zeros((n, self.value_size), np.float32)
+        returns = []
+        rng = jax.random.PRNGKey(self.seed + 1)
+        steps = 0
+        while len(returns) < games_num and steps < self.max_steps:
+            rng, akey = jax.random.split(rng)
+            actions = act_fn(akey, obs)
+            next_obs, rewards, dones, infos = self.vec_env.step(
+                np.asarray(actions)
+            )
+            rewards = np.asarray(rewards, np.float32).reshape(n, -1)
+            cur += rewards
+            for i in np.nonzero(np.asarray(dones))[0]:
+                returns.append(cur[i].copy())
+                cur[i] = 0.0
+            obs = jnp.asarray(next_obs)
+            steps += 1
+        mean_reward = float(np.mean([r[0] for r in returns])) if returns else 0.0
+        print(f"av reward: {mean_reward:.2f} games played: {len(returns)}")
+        return mean_reward
+
     def run(self, games_num: Optional[int] = None, **_):
         games_num = games_num or self.games_num
         if self.player_cfg.get("evaluation"):
             self.maybe_load_new_checkpoint()
+        if self.is_host_env:
+            jit_act = jax.jit(
+                lambda p, nm, k, o: self._env_actions(
+                    self.model.forward_play(
+                        p, nm, k, self._actor_obs(o),
+                        deterministic=self.deterministic,
+                    )["actions"]
+                )
+            )
+            return self._host_run(
+                games_num,
+                lambda k, o: jit_act(self.net_params, self.norm, k, o),
+            )
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
         env_state, obs = self.vec_env.reset(ekey)
@@ -207,8 +251,12 @@ class SACPlayer(BasePlayer):
         self.action_bias = (np.asarray(space.high) + np.asarray(space.low)) / 2.0
 
         self.actor, _ = build_sac_networks(params["network"], self.action_dim)
+        self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         rng = jax.random.PRNGKey(self.seed)
-        _, obs = self.vec_env.reset(rng)
+        if self.is_host_env:
+            obs = jnp.asarray(self.vec_env.reset())
+        else:
+            _, obs = self.vec_env.reset(rng)
         example = obs["obs"] if isinstance(obs, dict) else obs
         self.actor_params = self.actor.init(rng, example)
         self.obs_rms = (
@@ -232,6 +280,27 @@ class SACPlayer(BasePlayer):
         from rl_games_tpu.ops.running_stats import rms_normalize
 
         games_num = games_num or self.games_num
+
+        def sac_actions(akey, obs_vec):
+            if self.obs_rms is not None:
+                obs_vec = rms_normalize(self.obs_rms, obs_vec)
+            mu, std = self.actor.apply(self.actor_params, obs_vec)
+            if self.deterministic:
+                actions = jnp.tanh(mu)
+            else:
+                actions, _ = SACActor.sample(akey, mu, std)
+            return jnp.clip(
+                actions * self.action_scale + self.action_bias,
+                self.env_info.action_space.low,
+                self.env_info.action_space.high,
+            )
+
+        if self.is_host_env:
+            self.value_size = 1
+            jit_act = jax.jit(
+                lambda k, o: sac_actions(k, self._actor_obs(o))
+            )
+            return self._host_run(games_num, jit_act)
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
         env_state, obs = self.vec_env.reset(ekey)

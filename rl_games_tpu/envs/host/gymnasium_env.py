@@ -25,10 +25,16 @@ def convert_space(space):
     import gymnasium as gym
 
     if isinstance(space, gym.spaces.Box):
+        # keep per-dimension bounds when they are not uniform — collapsing
+        # to scalars would mis-scale actions for envs with asymmetric or
+        # per-dim action ranges (SAC action_scale/bias, PPO rescale)
+        low, high = np.asarray(space.low), np.asarray(space.high)
         return Box(
             shape=tuple(space.shape),
-            low=float(np.min(space.low)),
-            high=float(np.max(space.high)),
+            low=float(low.flat[0]) if np.all(low == low.flat[0])
+            else low.astype(np.float32),
+            high=float(high.flat[0]) if np.all(high == high.flat[0])
+            else high.astype(np.float32),
         )
     if isinstance(space, gym.spaces.Discrete):
         return Discrete(n=int(space.n))
@@ -42,17 +48,27 @@ def convert_space(space):
 
 
 class GymnasiumVecEnv:
-    """gymnasium_vecenv.py:100-258 equivalent (single-agent path)."""
+    """gymnasium_vecenv.py:100-258 equivalent (single-agent path).
+
+    Default autoreset is SAME_STEP (reset-on-done): the reference's
+    RayWorker resets inside the worker on done (common/vecenv.py:70-178),
+    so the row following a done is always a fresh episode's first row and
+    the PPO dataset never contains post-done garbage rows. The true final
+    observation is surfaced per done row via infos['final_observation']
+    (SAC replay writes bootstrap from it). Pass
+    ``autoreset_mode='next_step'`` for envpool-style semantics (the SAC
+    trainer handles both; the PPO host path requires same_step)."""
 
     is_host_env = True
-    autoreset_mode = "next_step"
 
     def __init__(self, env_id: str, num_actors: int, *, use_async: bool = False,
-                 seed: Optional[int] = None, wrappers=None, **env_kwargs):
+                 seed: Optional[int] = None, wrappers=None,
+                 autoreset_mode: str = "same_step", **env_kwargs):
         import gymnasium as gym
 
         self.num_envs = num_actors
         self.env_id = env_id
+        self.autoreset_mode = autoreset_mode
 
         def make(i):
             def thunk():
@@ -63,8 +79,13 @@ class GymnasiumVecEnv:
 
             return thunk
 
+        gym_mode = (
+            gym.vector.AutoresetMode.SAME_STEP
+            if autoreset_mode == "same_step"
+            else gym.vector.AutoresetMode.NEXT_STEP
+        )
         cls = gym.vector.AsyncVectorEnv if use_async else gym.vector.SyncVectorEnv
-        self.env = cls([make(i) for i in range(num_actors)])
+        self.env = cls([make(i) for i in range(num_actors)], autoreset_mode=gym_mode)
         self.seed = seed
         self._action_is_discrete = isinstance(
             self.env.single_action_space, gym.spaces.Discrete

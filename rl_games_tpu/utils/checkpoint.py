@@ -69,6 +69,11 @@ def _read_payload(path: str):
     return safe_filesystem_op(read)
 
 
+def peek_meta(path: str) -> dict:
+    """Read just the metadata dict without restoring the state."""
+    return _read_payload(path).get("meta", {})
+
+
 def load_checkpoint(path: str, example_state: Any):
     """Restore into the treedef of `example_state`; returns (state, meta)."""
     payload = _read_payload(path)

@@ -80,10 +80,12 @@ class IntervalSummaryWriter:
 
 def write_ppo_stats(writer, metrics: dict, frame: int, epoch: int,
                     total_time: float, fps_total: float, fps_step: float,
-                    value_size: int = 1):
+                    value_size: int = 1, fps_inference: float = None):
     """The reference scalar families (a2c_common.py:396-416, 1404-1443)."""
     w = writer.add_scalar
     w("performance/step_inference_rl_update_fps", fps_total, frame)
+    w("performance/step_inference_fps",
+      fps_step if fps_inference is None else fps_inference, frame)
     w("performance/step_fps", fps_step, frame)
     w("losses/a_loss", float(metrics["a_loss"]), frame)
     w("losses/c_loss", float(metrics["c_loss"]), frame)

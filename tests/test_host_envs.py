@@ -68,6 +68,210 @@ def test_ppo_host_path_learns_cartpole():
     assert int(m["frame"]) == 60 * 8 * 32
 
 
+def test_gymnasium_same_step_resets_on_done():
+    """Default autoreset is same_step: the obs returned on a done row is the
+    NEW episode's reset obs, the true final obs travels in infos
+    (reference RayWorker reset-on-done, common/vecenv.py:70-178)."""
+    env = GymnasiumVecEnv("CartPole-v1", 2, seed=0)
+    assert env.autoreset_mode == "same_step"
+    env.reset()
+    # constant push → pole falls in well under 100 steps
+    saw_done = False
+    for _ in range(100):
+        obs, rewards, dones, infos = env.step(np.ones(2, np.int64))
+        if dones.any():
+            saw_done = True
+            i = int(np.nonzero(dones)[0][0])
+            final = infos["final_observation"][i]
+            # final obs is out-of-bounds (that's why it terminated);
+            # returned obs is a fresh reset (near upright, inside bounds)
+            assert np.abs(final[2]) > 0.2
+            assert np.abs(obs[i][2]) < 0.1
+            break
+    assert saw_done
+    env.close()
+
+
+class _FakeSameStepEnv:
+    """Deterministic fake host env (the reference's fake-env test discipline,
+    tests/test_sac_correctness.py:27-183): obs = [env_id, episode, step] so
+    dataset rows are exactly checkable; staggered episode lengths."""
+
+    is_host_env = True
+    autoreset_mode = "same_step"
+    max_episode_steps = 100
+
+    def __init__(self, lengths):
+        self.lengths = np.asarray(lengths)
+        self.n = len(lengths)
+        self.step_count = np.zeros(self.n, np.int64)
+        self.episode = np.zeros(self.n, np.int64)
+
+    def get_env_info(self):
+        from rl_games_tpu.envs.spaces import Box, EnvInfo
+
+        return EnvInfo(
+            observation_space=Box(shape=(3,)),
+            action_space=Box(shape=(1,), low=-1.0, high=1.0),
+        )
+
+    def _obs(self):
+        return np.stack(
+            [np.arange(self.n), self.episode, self.step_count], -1
+        ).astype(np.float32)
+
+    def reset(self):
+        return self._obs()
+
+    def step(self, actions):
+        self.step_count += 1
+        done = self.step_count >= self.lengths
+        final = self._obs()
+        rewards = np.ones(self.n, np.float32)
+        self.episode[done] += 1
+        self.step_count[done] = 0
+        infos = {
+            "time_outs": np.zeros(self.n, bool),
+            "final_observation": final,
+        }
+        return self._obs(), rewards, done, infos
+
+
+def test_ppo_host_dataset_has_no_garbage_rows():
+    """Byte-check: every stored row after a done is a fresh episode's step-0
+    row — no stale-final-obs/no-op rows enter the dataset (the reference
+    avoids them via RayWorker reset-on-done; next_step autoreset without
+    masking would inject them)."""
+    import jax.numpy as jnp
+
+    vec_env = _FakeSameStepEnv([3, 5, 4, 7])
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+        },
+        "config": {
+            "env_name": "fake", "num_actors": 4, "horizon_length": 16,
+            "minibatch_size": 32, "mini_epochs": 1, "learning_rate": 1e-4,
+            "e_clip": 0.2, "clip_value": False, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 1.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False,
+            "value_bootstrap": False, "seed": 3,
+        },
+    }
+    agent = PPOAgent("t", params, vec_env=vec_env)
+    state = agent.init_state()
+
+    captured = {}
+    policy_step, finish = agent._make_host_fns()
+
+    def capture_finish(state, traj, last_values, rnn_snapshots):
+        captured["traj"] = traj
+        return finish(state, traj, last_values, rnn_snapshots)
+
+    agent._host_fns = (policy_step, capture_finish)
+    state, _ = agent.host_train_epoch(state)
+
+    obses = np.asarray(captured["traj"]["obses"])  # [T, N, 3]
+    dones = np.asarray(captured["traj"]["dones"])  # [T, N]
+    T = obses.shape[0]
+    for t in range(T):
+        for i in range(4):
+            if dones[t, i] == 1.0:
+                # the row entered after a done must be a fresh reset row
+                assert obses[t, i, 2] == 0.0, (t, i, obses[t, i])
+    # episodes advance: env 0 has length 3 → step column cycles 0,1,2
+    assert obses[:, 0, 2].max() == 2.0
+    # rewards on every row are real env rewards (no zero reset rows)
+    assert (np.asarray(captured["traj"]["rewards"]) != 0).all()
+
+
+def test_ppo_host_rejects_next_step_autoreset():
+    env = GymnasiumVecEnv(
+        "CartPole-v1", 2, seed=0, autoreset_mode="next_step"
+    )
+    params = {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+        "config": {
+            "env_name": "CartPole-v1", "num_actors": 2,
+            "horizon_length": 8, "minibatch_size": 16, "mini_epochs": 1,
+            "learning_rate": 1e-4, "e_clip": 0.2, "clip_value": False,
+            "gamma": 0.99, "tau": 0.95, "critic_coef": 1.0,
+            "entropy_coef": 0.0, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False, "seed": 3,
+        },
+    }
+    with pytest.raises(ValueError, match="same_step"):
+        PPOAgent("t", params, vec_env=env)
+    env.close()
+
+
+def test_ppo_player_runs_host_env():
+    from rl_games_tpu.common.player import PpoPlayer
+
+    params = {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+        "config": {
+            "env_name": "CartPole-v1", "vecenv_type": "GYMNASIUM",
+            "num_actors": 2, "seed": 3, "normalize_input": False,
+            "player": {"games_num": 3, "max_steps": 300},
+            "env_config": {"seed": 3},
+        },
+    }
+    player = PpoPlayer(params)
+    assert player.is_host_env
+    reward = player.run()
+    assert reward > 0.0  # CartPole always accrues reward
+
+
+def test_sac_player_runs_host_env():
+    from rl_games_tpu.common.player import SACPlayer
+
+    params = {
+        "algo": {"name": "sac"},
+        "model": {"name": "soft_actor_critic"},
+        "network": {
+            "name": "soft_actor_critic", "separate": True,
+            "mlp": {"units": [16], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "log_std_bounds": [-5, 2],
+        },
+        "config": {
+            "env_name": "Pendulum-v1", "vecenv_type": "GYMNASIUM",
+            "num_actors": 2, "seed": 3, "normalize_input": False,
+            "player": {"games_num": 2, "max_steps": 450},
+            "env_config": {"seed": 3},
+        },
+    }
+    player = SACPlayer(params)
+    assert player.is_host_env
+    reward = player.run()
+    assert reward < 0.0  # Pendulum rewards are negative
+
+
 def test_sac_host_path_runs():
     params = {
         "algo": {"name": "sac"},
@@ -99,4 +303,7 @@ def test_sac_host_path_runs():
     assert np.isfinite(float(m["critic_loss"]))
     from rl_games_tpu.algos.sac import replay_size
 
-    assert int(replay_size(state.replay)) == 4 * 4 * 4
+    # the fused host step ingests transition t-1 together with acting at t
+    # (one dispatch per env step), so the newest transition is still
+    # pending: 16 steps taken -> 15 ingested x 4 actors
+    assert int(replay_size(state.replay)) == (4 * 4 - 1) * 4

@@ -106,6 +106,32 @@ def test_pendulum_continuous_trains():
     assert 1e-6 <= float(m["lr"]) <= 1e-2
 
 
+def test_use_diagnostics_per_miniepoch_family():
+    """PpoDiagnostics analog (diagnostics.py:18-60): per-miniepoch kl and
+    clip-frac arrays plus normalizer-state scalars in the metrics."""
+    agent = PPOAgent("t", cartpole_params(use_diagnostics=True))
+    state, m = run_epochs(agent, 3)
+    diag = m["_diag"]
+    assert diag["kl"].shape == (4,)
+    assert diag["clip_frac"].shape == (4,)
+    assert np.isfinite(np.asarray(diag["kl"])).all()
+    assert "obs_rms_mean" in diag and "value_rms_mean" in diag
+    assert abs(float(m["e_clip"]) - 0.2) < 1e-6
+
+
+def test_value_normalizer_updates_from_values_and_returns():
+    """Parity with the reference's two sequential train-mode forwards
+    (a2c_common.py:1325-1332): the value-normalizer count advances by
+    2 x batch per epoch (values batch + returns batch)."""
+    agent = PPOAgent("t", cartpole_params())
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    c0 = int(state.norm.value.count)
+    state, _ = fn(state)
+    c1 = int(state.norm.value.count)
+    assert c1 - c0 == 2 * agent.batch_size
+
+
 def test_schedule_types_run():
     for schedule in ("legacy", "standard"):
         agent = PPOAgent("t", pendulum_params(schedule_type=schedule))
