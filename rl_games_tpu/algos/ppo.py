@@ -120,6 +120,7 @@ class PPOTrainState:
     cv_params: Any = None  # central value net (asymmetric actor-critic)
     cv_opt: Any = None
     cv_norm: Any = None
+    cv_rnn_states: Any = None  # central value net's own RNN states
     game_scores: Any = None  # Meters over infos['scores'] at episode end
 
 
@@ -205,6 +206,7 @@ class PPOAgent:
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
         self._rollout_time = None  # calibrated under use_diagnostics
         self._last_timing = None  # host-path real split
+        self._program_stale = False  # set_param touched a baked-in constant
         # bf16 compute for the minibatch fwd/bwd with fp32 master params —
         # the reference's autocast policy (a2c_continuous.py:172-178,
         # torch_ext.default_mixed_precision). Default off: TPUs already run
@@ -328,11 +330,15 @@ class PPOAgent:
 
         # --- RNN wiring (a2c_common.py:229-240, 507-529) --------------------
         self.is_rnn = self.model.is_rnn()
+        # the central value net keeps its own parallel RNN machinery
+        # (central_value.py:100-107, 189-203)
+        self.cv_is_rnn = self.has_central_value and self.cv_model.is_rnn()
+        self.any_rnn = self.is_rnn or self.cv_is_rnn
         self.zero_rnn_on_done = config.get("zero_rnn_on_done", True)
         # reference default: NO minibatch permutation (datasets.py permute
         # flag from config['permute_batches'], RNN minibatches always ordered)
-        self.permute_batches = config.get("permute_batches", False) and not self.is_rnn
-        if self.is_rnn:
+        self.permute_batches = config.get("permute_batches", False) and not self.any_rnn
+        if self.any_rnn:
             if self.horizon_length % self.seq_length != 0:
                 raise ValueError(
                     "horizon_length must be divisible by seq_length"
@@ -343,6 +349,13 @@ class PPOAgent:
                 )
             self.num_windows = self.horizon_length // self.seq_length
             self.games_num = self.minibatch_size // self.seq_length
+        if self.cv_is_rnn:
+            if self.cv_minibatch_size % self.seq_length != 0:
+                raise ValueError(
+                    "central value minibatch_size must be divisible by "
+                    "seq_length"
+                )
+            self.cv_games_num = self.cv_minibatch_size // self.seq_length
 
         # --- optimizer (torch fused Adam analog: clip → wd → adam; the lr
         # lives in the train state so schedulers can run inside jit) --------
@@ -378,10 +391,14 @@ class PPOAgent:
             model_key, example_obs, rnn_states=rnn_states
         )
         opt_state = self.tx.init(params)
-        cv_params = cv_opt = cv_norm = None
+        cv_params = cv_opt = cv_norm = cv_rnn_states = None
         if self.has_central_value:
             cv_key = jax.random.fold_in(model_key, 1)
-            cv_params, cv_norm = self.cv_model.init(cv_key, obs["states"])
+            if self.cv_is_rnn:
+                cv_rnn_states = self.cv_model.get_default_rnn_state(n_envs)
+            cv_params, cv_norm = self.cv_model.init(
+                cv_key, obs["states"], rnn_states=cv_rnn_states
+            )
             cv_opt = self.cv_tx.init(cv_params)
         n = self.num_actors * self.num_agents
         v = self.value_size
@@ -409,6 +426,7 @@ class PPOAgent:
             cv_params=cv_params,
             cv_opt=cv_opt,
             cv_norm=cv_norm,
+            cv_rnn_states=cv_rnn_states,
             game_scores=meters_init(self.games_to_track, 1),
         )
         # distinct buffers per leaf — XLA dedupes equal constants, and an
@@ -450,7 +468,7 @@ class PPOAgent:
 
         def step(carry, _):
             (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-             m_r, m_sr, m_len, m_sc, rnn_states) = carry
+             m_r, m_sr, m_len, m_sc, rnn_states, cv_rnn_states) = carry
             rng, akey = jax.random.split(rng)
             mask_kwargs = {}
             if self.use_action_masks:
@@ -466,12 +484,22 @@ class PPOAgent:
                 **mask_kwargs,
             )
             new_rnn_states = res["rnn_states"] if self.is_rnn else None
+            new_cv_rnn_states = None
             if self.has_central_value:
                 # values come from the central net (get_action_values,
-                # a2c_common.py:460-470)
-                res["values"] = self.cv_model.forward_play(
-                    state.cv_params, state.cv_norm, akey, obs["states"]
-                )["values"]
+                # a2c_common.py:460-470); its own RNN states advance in
+                # parallel (pre/post_step_rnn, central_value.py:189-203)
+                cv_res = self.cv_model.forward_play(
+                    state.cv_params, state.cv_norm, akey, obs["states"],
+                    rnn_states=cv_rnn_states,
+                    dones=dones
+                    if (self.cv_is_rnn and self.zero_rnn_on_done)
+                    else None,
+                    seq_length=1,
+                )
+                res["values"] = cv_res["values"]
+                if self.cv_is_rnn:
+                    new_cv_rnn_states = cv_res["rnn_states"]
             env_state2, next_obs, rewards, new_dones, infos = self.vec_env.step(
                 env_state, self._env_actions(res["actions"])
             )
@@ -526,7 +554,7 @@ class PPOAgent:
             carry = (
                 env_state2, next_obs, new_dones.astype(jnp.float32), rng,
                 cur_r, cur_sr, cur_len, m_r, m_sr, m_len, m_sc,
-                new_rnn_states,
+                new_rnn_states, new_cv_rnn_states,
             )
             return carry, out
 
@@ -535,22 +563,24 @@ class PPOAgent:
             state.current_rewards, state.current_shaped_rewards,
             state.current_lengths, state.game_rewards,
             state.game_shaped_rewards, state.game_lengths, state.game_scores,
-            state.rnn_states,
+            state.rnn_states, state.cv_rnn_states,
         )
 
-        if self.is_rnn:
+        if self.any_rnn:
             # nested scan: snapshot hidden states at each window start
-            # (play_steps_rnn, a2c_common.py:857-860)
+            # (play_steps_rnn, a2c_common.py:857-860; the cv net snapshots
+            # its own states in parallel, central_value.py:189-203)
             def window(carry, _):
-                snapshot = carry[-1]
+                snapshot = (carry[-2], carry[-1])
                 carry, traj_w = jax.lax.scan(
                     step, carry, None, length=self.seq_length
                 )
                 return carry, (snapshot, traj_w)
 
-            carry, (rnn_snapshots, traj) = jax.lax.scan(
+            carry, (snapshots, traj) = jax.lax.scan(
                 window, carry0, None, length=self.num_windows
             )
+            rnn_snapshots = snapshots
             # traj leaves: [W, seq, N, ...] → [T, N, ...]
             traj = jax.tree.map(
                 lambda x: x.reshape((self.horizon_length,) + x.shape[2:]), traj
@@ -562,13 +592,18 @@ class PPOAgent:
             )
 
         (env_state, obs, dones, rng, cur_r, cur_sr, cur_len,
-         m_r, m_sr, m_len, m_sc, rnn_states) = carry
+         m_r, m_sr, m_len, m_sc, rnn_states, cv_rnn_states) = carry
 
         # bootstrap values for the final obs (get_values, a2c_common:474-483)
         rng, vkey = jax.random.split(rng)
         if self.has_central_value:
             last_values = self.cv_model.forward_play(
-                state.cv_params, state.cv_norm, vkey, obs["states"]
+                state.cv_params, state.cv_norm, vkey, obs["states"],
+                rnn_states=cv_rnn_states,
+                dones=dones
+                if (self.cv_is_rnn and self.zero_rnn_on_done)
+                else None,
+                seq_length=1,
             )["values"]
         else:
             last_values = self.model.forward_play(
@@ -584,6 +619,7 @@ class PPOAgent:
             current_lengths=cur_len, game_rewards=m_r,
             game_shaped_rewards=m_sr, game_lengths=m_len,
             game_scores=m_sc, rnn_states=rnn_states,
+            cv_rnn_states=cv_rnn_states,
         )
         return state, traj, last_values, rnn_snapshots
 
@@ -654,19 +690,26 @@ class PPOAgent:
         dataset["old_logp_actions"] = dataset.pop("neglogpacs")
         state = state.replace(norm=norm, adv_rms=adv_rms, cv_norm=cv_norm)
 
-        rnn_dataset_states = None
-        if self.is_rnn:
+        def to_dataset_states(snaps):
             # snapshots [W, layers, N, units] → [layers, N*W, units]; the
             # env-major flatten means global sequence s = (env e)*W + w,
             # matching the reference's permute(1,2,0,3).reshape
             # (a2c_common.py:932-937)
-            rnn_dataset_states = tuple(
-                s.transpose(1, 2, 0, 3).reshape(
-                    s.shape[1], s.shape[2] * s.shape[0], s.shape[3]
+            return tuple(
+                x.transpose(1, 2, 0, 3).reshape(
+                    x.shape[1], x.shape[2] * x.shape[0], x.shape[3]
                 )
-                for s in rnn_snapshots
+                for x in snaps
             )
-        return state, dataset, rnn_dataset_states
+
+        rnn_dataset_states = cv_rnn_dataset_states = None
+        if self.any_rnn:
+            actor_snaps, cv_snaps = rnn_snapshots
+            if self.is_rnn:
+                rnn_dataset_states = to_dataset_states(actor_snaps)
+            if self.cv_is_rnn:
+                cv_rnn_dataset_states = to_dataset_states(cv_snaps)
+        return state, dataset, (rnn_dataset_states, cv_rnn_dataset_states)
 
     def _loss_and_kl(self, params, norm, mb, entropy_coef):
         """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
@@ -884,25 +927,46 @@ class PPOAgent:
         )
         return state, metrics
 
-    def _update_central_value(self, state: PPOTrainState, dataset):
-        """Central value net training (central_value.py:246-339)."""
+    def _update_central_value(self, state: PPOTrainState, dataset,
+                              cv_rnn_dataset_states=None):
+        """Central value net training (central_value.py:246-339); in RNN
+        mode minibatches are whole-sequence groups with their own
+        hidden-state slices (central_value.py:100-107)."""
         cv_minibatches = self.cv_num_minibatches
 
         def minibatch_step(carry, start):
             cv_params, cv_opt = carry
+            cols = {
+                "states": dataset["states"],
+                "old_values": dataset["old_values"],
+                "returns": dataset["returns"],
+            }
+            if self.cv_is_rnn:
+                cols["dones"] = dataset["dones"]
             mb = jax.tree.map(
                 lambda x: jax.lax.dynamic_slice_in_dim(
                     x, start, self.cv_minibatch_size, axis=0
                 ),
-                {
-                    "states": dataset["states"],
-                    "old_values": dataset["old_values"],
-                    "returns": dataset["returns"],
-                },
+                cols,
             )
+            rnn_kwargs = {}
+            if self.cv_is_rnn:
+                gstart = start // self.seq_length
+                rnn_kwargs = dict(
+                    rnn_states=tuple(
+                        jax.lax.dynamic_slice_in_dim(
+                            x, gstart, self.cv_games_num, axis=1
+                        )
+                        for x in cv_rnn_dataset_states
+                    ),
+                    dones=mb["dones"] if self.zero_rnn_on_done else None,
+                    seq_length=self.seq_length,
+                )
 
             def loss_fn(p):
-                res = self.cv_model.forward_train(p, state.cv_norm, mb["states"])
+                res = self.cv_model.forward_train(
+                    p, state.cv_norm, mb["states"], **rnn_kwargs
+                )
                 loss = L.critic_loss(
                     mb["old_values"], res["values"], self.cv_e_clip,
                     mb["returns"], self.cv_clip_value,
@@ -972,12 +1036,14 @@ class PPOAgent:
                 game_shaped_rewards=m_sr, game_lengths=m_len,
             )
 
-        state, dataset, rnn_ds_states = self._prepare_dataset(
-            state, traj, last_values, rnn_snapshots
+        state, dataset, (rnn_ds_states, cv_rnn_ds_states) = (
+            self._prepare_dataset(state, traj, last_values, rnn_snapshots)
         )
         cval_loss = None
         if self.has_central_value:
-            state, cval_loss = self._update_central_value(state, dataset)
+            state, cval_loss = self._update_central_value(
+                state, dataset, cv_rnn_ds_states
+            )
         state, metrics = self._update(state, dataset, rnn_ds_states)
         metrics = dict(metrics)
         # PpoDiagnostics explained variance (diagnostics.py:18-60)
@@ -1104,7 +1170,10 @@ class PPOAgent:
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *traj_steps)
         rnn_snapshots = None
         if self.is_rnn:
-            rnn_snapshots = jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots)
+            # (actor, cv) pair — host path has no central value (guarded)
+            rnn_snapshots = (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots), None
+            )
 
         state = state.replace(
             obs=obs, dones=dones, rng=rng, rnn_states=rnn_states
@@ -1131,7 +1200,13 @@ class PPOAgent:
         if self.is_host_env:
             return self.host_train_epoch
         if mesh is None:
-            return jax.jit(self.train_epoch, donate_argnums=donate_args)
+            # fresh lambda per call: bound methods hash equal across
+            # accesses, so jitting self.train_epoch directly would let
+            # jax's trace cache serve a jaxpr with STALE baked-in
+            # constants after set_param mutations
+            return jax.jit(
+                lambda s: self.train_epoch(s), donate_argnums=donate_args
+            )
 
         from rl_games_tpu.parallel.mesh import ppo_state_shardings
 
@@ -1141,7 +1216,7 @@ class PPOAgent:
             if "fn" not in cache:
                 shardings = ppo_state_shardings(state, mesh)
                 cache["fn"] = jax.jit(
-                    self.train_epoch,
+                    lambda s: self.train_epoch(s),
                     in_shardings=(shardings,),
                     out_shardings=(shardings, None),
                     donate_argnums=donate_args,
@@ -1193,6 +1268,128 @@ class PPOAgent:
 
     def set_weights(self, state: PPOTrainState, weights) -> PPOTrainState:
         return state.replace(params=weights["params"], norm=weights["norm"])
+
+    def get_full_state_weights(self, state: PPOTrainState,
+                               last_mean_rewards: float = -100500.0) -> dict:
+        """The full resumable training state (a2c_common.py:650-668): the
+        TrainState pytree already carries params, optimizer state,
+        normalizers, counters, meters, and — for device envs — the env
+        state; host-env state is fetched via the IVecEnv surface."""
+        out = {
+            "state": state,
+            "weights": self.get_weights(state),
+            "epoch": int(state.epoch),
+            "frame": int(state.frame),
+            "last_mean_rewards": last_mean_rewards,
+        }
+        if self.is_host_env and hasattr(self.vec_env, "get_env_state"):
+            out["env_state"] = self.vec_env.get_env_state()
+        return out
+
+    def set_full_state_weights(self, state: PPOTrainState, full: dict,
+                               set_epoch: bool = True) -> PPOTrainState:
+        """a2c_common.py:670-688: restore everything; `set_epoch=False`
+        keeps the current counters (PBT warm-start semantics)."""
+        new = full["state"]
+        if not set_epoch:
+            new = new.replace(epoch=state.epoch, frame=state.frame)
+        if (
+            self.is_host_env
+            and full.get("env_state") is not None
+            and hasattr(self.vec_env, "set_env_state")
+        ):
+            self.vec_env.set_env_state(full["env_state"])
+        return new
+
+    # ------------------------------------------------------------------
+    # get_param / set_param (a2c_common.py:725-772) — the PBT / external
+    # controller surface. Params that live in the TrainState (lr,
+    # entropy_coef) mutate the state; params baked into the compiled
+    # program (gamma, tau, e_clip, ...) set the attribute and mark the
+    # program stale — train() re-jits before the next epoch.
+    # ------------------------------------------------------------------
+    _STATIC_PARAMS = (
+        "grad_norm", "critic_coef", "bounds_loss_coef", "gamma", "tau",
+        "mini_epochs_num", "e_clip",
+    )
+
+    def get_param(self, param_name: str, state: Optional[PPOTrainState] = None):
+        if param_name in self._STATIC_PARAMS:
+            return getattr(self, param_name)
+        if param_name == "learning_rate":
+            return float(state.lr) if state is not None else self.learning_rate
+        if param_name == "entropy_coef":
+            return (
+                float(state.entropy_coef)
+                if state is not None
+                else self.entropy_coef_init
+            )
+        if param_name == "kl_threshold":
+            return self.config.get("kl_threshold")
+        raise NotImplementedError(f"Can't get param {param_name}")
+
+    def set_param(self, param_name: str, value,
+                  state: Optional[PPOTrainState] = None):
+        """Returns the (possibly updated) state."""
+        if param_name in self._STATIC_PARAMS:
+            setattr(self, param_name, value)
+            self._program_stale = True
+            return state
+        if param_name == "learning_rate":
+            if self.config.get("lr_schedule") == "adaptive":
+                raise NotImplementedError(
+                    "Can't directly mutate LR on this schedule"
+                )
+            self.learning_rate = float(value)
+            if state is not None:
+                return state.replace(lr=jnp.asarray(value, jnp.float32))
+            return state
+        if param_name == "entropy_coef":
+            self.entropy_coef_init = float(value)
+            if state is not None:
+                return state.replace(
+                    entropy_coef=jnp.asarray(value, jnp.float32)
+                )
+            return state
+        if param_name == "kl_threshold":
+            if self.config.get("lr_schedule") != "adaptive":
+                raise NotImplementedError(
+                    "Can't mutate kl threshold on this schedule"
+                )
+            self.config["kl_threshold"] = float(value)
+            self.scheduler = build_scheduler(
+                {**self.config,
+                 "max_epochs": self.max_epochs if self.max_epochs > 0 else
+                 self.config.get("max_epochs", 1000000)},
+                self.learning_rate,
+            )
+            self._program_stale = True
+            return state
+        raise NotImplementedError(f"No param found for {param_name}")
+
+    def reset_optimizer(self, state: PPOTrainState) -> PPOTrainState:
+        """Fresh Adam moments. Used on PBT in-process adoption — carrying
+        the laggard's moments against the leader's weights is wrong (the
+        reference avoids it by full process restart, pbt.py:129-272)."""
+        new = {"opt_state": self.tx.init(state.params)}
+        if self.has_central_value:
+            new["cv_opt"] = self.cv_tx.init(state.cv_params)
+        return state.replace(**new)
+
+    def _rebuild_stale_program(self):
+        """Re-derive everything that bakes static params in: the optimizer
+        chain (grad_norm) and the jitted epoch programs."""
+        chain = []
+        if self.truncate_grads:
+            chain.append(optax.clip_by_global_norm(self.grad_norm))
+        if self.weight_decay > 0:
+            chain.append(optax.add_decayed_weights(self.weight_decay))
+        chain.append(optax.scale_by_adam(eps=1e-8))
+        chain.append(optax.scale(-1.0))
+        self.tx = optax.chain(*chain)
+        if hasattr(self, "_host_fns"):
+            del self._host_fns
+        self._program_stale = False
 
     # ------------------------------------------------------------------
     # host train loop (ContinuousA2CBase.train, a2c_common.py:1372-1492)
@@ -1372,6 +1569,11 @@ class PPOAgent:
                         observer.after_clear_stats()
             if pbt_manager is not None:
                 state = pbt_manager.step(self, state, metrics)
+            if self._program_stale:
+                # set_param mutated a constant baked into the compiled
+                # epoch (gamma, e_clip, ...) — re-jit before the next one
+                self._rebuild_stale_program()
+                train_fn = self.make_train_fn(mesh=mesh)
             if interval_writer is not None:
                 interval_writer.tick()
             if config.get("print_stats", True):

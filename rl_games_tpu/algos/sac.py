@@ -586,8 +586,11 @@ class SACAgent:
     def make_train_fn(self, mesh=None, donate: bool = True):
         if self.is_host_env:
             return self.host_train_epoch
+        # fresh lambda: avoid jax's bound-method trace cache serving
+        # stale baked-in constants after set_param mutations
         return jax.jit(
-            self.train_epoch, donate_argnums=(0,) if donate else ()
+            lambda s: self.train_epoch(s),
+            donate_argnums=(0,) if donate else (),
         )
 
     # ------------------------------------------------------------------
@@ -755,6 +758,66 @@ class SACAgent:
             "obs_rms": state.obs_rms,
         }
 
+    def get_full_state_weights(self, state: SACTrainState,
+                               last_mean_rewards: float = -100500.0) -> dict:
+        """sac_agent.py:295-315 analog (replay optional via
+        replay_buffer_checkpoint)."""
+        return {
+            "state": self._ckpt_state(state),
+            "weights": self.get_weights(state),
+            "epoch": int(state.epoch),
+            "frame": int(state.frame),
+            "last_mean_rewards": last_mean_rewards,
+        }
+
+    def set_full_state_weights(self, state: SACTrainState, full: dict,
+                               set_epoch: bool = True) -> SACTrainState:
+        new = full["state"]
+        if new.replay.obses.shape[0] != state.replay.obses.shape[0]:
+            new = new.replace(replay=state.replay)
+        if not set_epoch:
+            new = new.replace(epoch=state.epoch, frame=state.frame)
+        return new
+
+    def set_weights(self, state: SACTrainState, weights) -> SACTrainState:
+        return state.replace(
+            actor_params=weights["actor_params"],
+            critic_params=weights["critic_params"],
+            obs_rms=weights["obs_rms"],
+        )
+
+    # get_param / set_param (BaseAlgorithm, interfaces/base_algorithm.py:
+    # 5-49). gamma/critic_tau are baked into the compiled epoch: mutation
+    # marks the program stale and the jitted fns are rebuilt lazily.
+    _STATIC_PARAMS = ("gamma", "critic_tau")
+
+    def get_param(self, param_name: str, state=None):
+        if param_name in self._STATIC_PARAMS:
+            return getattr(self, param_name)
+        if param_name == "tau":
+            return self.critic_tau
+        raise NotImplementedError(f"Can't get param {param_name}")
+
+    def set_param(self, param_name: str, value, state=None):
+        if param_name == "tau":
+            param_name = "critic_tau"
+        if param_name in self._STATIC_PARAMS:
+            setattr(self, param_name, float(value))
+            if hasattr(self, "_host_fns"):
+                del self._host_fns
+            self._program_stale = True
+            return state
+        raise NotImplementedError(f"No param found for {param_name}")
+
+    def reset_optimizer(self, state: SACTrainState) -> SACTrainState:
+        return state.replace(
+            actor_opt=self.actor_tx.init(state.actor_params),
+            critic_opt=self.critic_tx.init(state.critic_params),
+            alpha_opt=self.alpha_tx.init(
+                jnp.zeros((), jnp.float32)
+            ),
+        )
+
     def _ckpt_state(self, state: SACTrainState) -> SACTrainState:
         """State as checkpointed: replay stripped to a 1-slot stub unless
         `replay_buffer_checkpoint` is on."""
@@ -814,6 +877,9 @@ class SACAgent:
         t_last_log = start_time
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
+            if getattr(self, "_program_stale", False):
+                train_fn = self.make_train_fn(mesh=mesh)
+                self._program_stale = False
             state, metrics_dev = train_fn(state)
             epoch_num += 1
             frame += self.num_frames_per_epoch

@@ -17,7 +17,9 @@ from flax import struct
 
 from rl_games_tpu.envs.jax.base import JaxEnv
 from rl_games_tpu.envs.jax.classic import CartPole
-from rl_games_tpu.envs.spaces import Box, Discrete, DictSpace, EnvInfo
+from rl_games_tpu.envs.spaces import (
+    Box, Discrete, DictSpace, EnvInfo, MultiDiscrete,
+)
 
 
 @struct.dataclass
@@ -29,21 +31,41 @@ class MemoryState:
 
 class MemoryEnv(JaxEnv):
     """Goal hidden after `show_time` steps (hide_object=True); reward 1 on
-    reaching it. Discrete(4) moves in +-x / +-y after step 1."""
+    reaching it. Discrete(4) moves in +-x / +-y after step 1.
+
+    Flag-parameterized like the reference TestRNNEnv (rnn_env.py:5-50):
+      * multi_discrete_space — Tuple(Discrete(2), Discrete(3)) actions
+        (head 0: +x/-x, head 1: +y/-y/no-op; rnn_env.py:86-97)
+      * multi_head_value — value_size 2 with vector reward [win, dist]
+        (rnn_env.py:18-23, 105-119)
+      * use_central_value — {'obs','states'} wrapper, state never hides
+        the goal (rnn_env.py:139-148)
+    """
 
     def __init__(self, max_steps=21, hide_object=True, min_dist=2, max_dist=8,
-                 apply_dist_reward=False):
+                 apply_dist_reward=False, multi_discrete_space=False,
+                 multi_head_value=False, use_central_value=False):
         self.max_steps = max_steps
         self.hide_object = hide_object
         self.min_dist = min_dist
         self.max_dist = max_dist
         self.apply_dist_reward = apply_dist_reward
+        self.multi_discrete_space = multi_discrete_space
+        self.multi_head_value = multi_head_value
+        self.use_central_value = use_central_value
         self.max_episode_steps = max_steps
 
     def env_info(self):
+        action_space = (
+            MultiDiscrete(nvec=(2, 3))
+            if self.multi_discrete_space
+            else Discrete(n=4)
+        )
         return EnvInfo(
             observation_space=Box(shape=(6,)),
-            action_space=Discrete(n=4),
+            action_space=action_space,
+            state_space=Box(shape=(6,)) if self.use_central_value else None,
+            value_size=2 if self.multi_head_value else 1,
         )
 
     def _obs(self, state: MemoryState):
@@ -58,6 +80,23 @@ class MemoryEnv(JaxEnv):
                 jnp.stack([show, state.steps.astype(jnp.float32)]),
             ]
         )
+
+    def _state_obs(self, state: MemoryState):
+        """Central-value state: goal always visible (rnn_env.py:139-141)."""
+        return jnp.concatenate(
+            [
+                state.pos.astype(jnp.float32),
+                state.goal.astype(jnp.float32),
+                jnp.stack(
+                    [jnp.ones(()), state.steps.astype(jnp.float32)]
+                ),
+            ]
+        )
+
+    def _wrap(self, obs, state):
+        if self.use_central_value:
+            return {"obs": obs, "states": self._state_obs(state)}
+        return obs
 
     def reset(self, key):
         k1, k2 = jax.random.split(key)
@@ -76,27 +115,44 @@ class MemoryEnv(JaxEnv):
                 jnp.asarray([1.0, 0.0]),
             ]
         )
-        return state, obs
+        return state, self._wrap(obs, state)
 
-    def step(self, estate: MemoryState, action, key):
-        steps = estate.steps + 1
-        # moves only allowed after step 1 (rnn_env.py:74-84)
-        can_move = steps > 1
-        delta = jnp.stack(
+    def _delta(self, action):
+        if self.multi_discrete_space:
+            a0, a1 = action[0], action[1]
+            return jnp.stack(
+                [
+                    jnp.where(a0 == 0, 1, 0) - jnp.where(a0 == 1, 1, 0),
+                    jnp.where(a1 == 0, 1, 0) - jnp.where(a1 == 1, 1, 0),
+                ]
+            ).astype(jnp.int32)
+        return jnp.stack(
             [
                 jnp.where(action == 0, 1, 0) - jnp.where(action == 1, 1, 0),
                 jnp.where(action == 2, 1, 0) - jnp.where(action == 3, 1, 0),
             ]
         ).astype(jnp.int32)
-        pos = estate.pos + jnp.where(can_move, delta, 0)
+
+    def step(self, estate: MemoryState, action, key):
+        steps = estate.steps + 1
+        # moves only allowed after step 1 (rnn_env.py:74-84)
+        can_move = steps > 1
+        pos = estate.pos + jnp.where(can_move, self._delta(action), 0)
         state = MemoryState(pos=pos, goal=estate.goal, steps=steps)
         dist = pos - estate.goal
         reached = (dist**2).sum() < 1
-        reward = jnp.where(reached, 1.0, 0.0)
-        if self.apply_dist_reward:
-            reward = reward - 0.1 * jnp.abs(dist).sum() / self.max_dist
+        win_reward = jnp.where(reached, 1.0, 0.0)
+        dist_reward = jnp.where(
+            self.apply_dist_reward,
+            -0.1 * jnp.abs(dist).sum() / self.max_dist,
+            0.0,
+        )
+        if self.multi_head_value:
+            reward = jnp.stack([win_reward, dist_reward])
+        else:
+            reward = win_reward + dist_reward
         terminated = reached
-        return state, self._obs(state), reward, terminated, {
+        return state, self._wrap(self._obs(state), state), reward, terminated, {
             "scores": jnp.where(reached, 1.0, 0.0)
         }
 

@@ -127,9 +127,65 @@ register(
 )
 
 
+def _create_test_env(name="TestRnnEnv-v0", multi_obs_space=False,
+                     aux_loss=False, **kwargs):
+    """The reference's `test_env` binding (env_configurations.py): one
+    flag-parameterized fixture env; reference env_config keys pass
+    through (hide_object, min_dist, max_dist, apply_dist_reward,
+    multi_discrete_space, multi_head_value, use_central_value)."""
+    from rl_games_tpu.envs.jax import test_envs
+
+    kwargs.pop("seed", None)
+    if multi_obs_space:
+        kwargs.pop("use_central_value", None)
+        return test_envs.DictObsMemoryEnv(aux_loss=aux_loss, **kwargs)
+    return test_envs.MemoryEnv(**kwargs)
+
+
+def _create_masked_velocity_vecenv(cfg, num_actors, **kwargs):
+    """CartPoleMaskedVelocity-v1 — CartPole with velocity obs zeroed
+    (env_configurations.py + wrappers.MaskVelocityWrapper :581-601)."""
+    from functools import partial
+
+    from rl_games_tpu.envs.host.gymnasium_env import GymnasiumVecEnv
+    from rl_games_tpu.envs.host.wrappers import MaskVelocityWrapper
+
+    wrapper = partial(MaskVelocityWrapper, name="CartPole-v1")
+    return GymnasiumVecEnv(
+        "CartPole-v1", num_actors, wrappers=[wrapper],
+        **{**cfg.get("env_config", {}), **kwargs},
+    )
+
+
+register(
+    "CartPoleMaskedVelocity-v1",
+    {"vecenv_type": "MASKED_VELOCITY_CARTPOLE"},
+)
+register_vecenv_type(
+    "MASKED_VELOCITY_CARTPOLE", _create_masked_velocity_vecenv
+)
+
+
+def _create_atari_vecenv(cfg, num_actors, **kwargs):
+    """Deepmind-wrapped Atari over the gymnasium bridge (the reference's
+    atari factory fns, common/wrappers.py:663-721; requires ale_py)."""
+    from rl_games_tpu.envs.host.gymnasium_env import GymnasiumVecEnv
+    from rl_games_tpu.envs.host.wrappers import wrap_deepmind
+
+    kwargs.setdefault("wrappers", [wrap_deepmind])
+    return GymnasiumVecEnv(cfg["env_id"], num_actors, **kwargs)
+
+
+register_vecenv_type("ATARI", _create_atari_vecenv)
+
+
 def register_test_envs():
     from rl_games_tpu.envs.jax import test_envs
 
+    register(
+        "test_env",
+        {"vecenv_type": "JAX", "env_creator": _create_test_env},
+    )
     register(
         "test_rnn_env",
         {"vecenv_type": "JAX", "env_creator": test_envs.MemoryEnv},

@@ -64,4 +64,11 @@ def _build_test_dict_net(net_params, *, actions_num, input_shape, value_size=1,
     )
 
 
+def _build_testnet_aux_loss(net_params, **kw):
+    """The reference's 'testnet_aux_loss' custom net name
+    (envs/test_network.py TestNetWithAuxLoss + its builder)."""
+    return _build_test_dict_net({**net_params, "with_aux_loss": True}, **kw)
+
+
 register_network("testnet_dict", _build_test_dict_net)
+register_network("testnet_aux_loss", _build_testnet_aux_loss)

@@ -79,6 +79,10 @@ class Runner:
 
         self.algo_name = params["algo"]["name"]
         config = params["config"]
+        # user modules imported for their registration side effects —
+        # custom networks / env plugins (torch_runner.py:152-155)
+        for module in config.get("import_modules", []) or []:
+            __import__(module)
         config["reward_shaper"] = config.get("reward_shaper", {})
         if "features" not in config:
             config["features"] = {}

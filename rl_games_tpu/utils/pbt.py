@@ -206,19 +206,30 @@ class PbtManager:
         if self.cfg.restart_with_execv:
             self.restart_fn(new_params)
             return state  # unreachable after execv
-        # in-process adoption: weights + train-state hyperparameters
+        # in-process adoption: weights + mutated hyperparameters, routed
+        # through the BaseAlgorithm set_param surface (a2c_common.py:
+        # 725-772) so config-level params (gamma, tau, e_clip, ...)
+        # mutate too — the algo re-jits its epoch when a baked-in
+        # constant changes
         state = algo.set_weights(state, leader["weights"])
+        if hasattr(algo, "reset_optimizer"):
+            # fresh Adam moments for the adopted weights (the reference's
+            # execv restart gets this for free)
+            state = algo.reset_optimizer(state)
         self.mutable_params = new_params
-        import jax.numpy as jnp
+        for key, value in new_params.items():
+            if hasattr(algo, "set_param"):
+                try:
+                    state = algo.set_param(key, value, state)
+                except NotImplementedError:
+                    pass
+            else:
+                import jax.numpy as jnp
 
-        if "learning_rate" in new_params and hasattr(state, "lr"):
-            state = state.replace(
-                lr=jnp.asarray(new_params["learning_rate"], jnp.float32)
-            )
-        if "entropy_coef" in new_params and hasattr(state, "entropy_coef"):
-            state = state.replace(
-                entropy_coef=jnp.asarray(
-                    new_params["entropy_coef"], jnp.float32
-                )
-            )
+                if key == "learning_rate" and hasattr(state, "lr"):
+                    state = state.replace(lr=jnp.asarray(value, jnp.float32))
+                elif key == "entropy_coef" and hasattr(state, "entropy_coef"):
+                    state = state.replace(
+                        entropy_coef=jnp.asarray(value, jnp.float32)
+                    )
         return state

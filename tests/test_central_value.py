@@ -68,6 +68,50 @@ def test_central_value_trains():
     assert max(jax.tree.leaves(diffs)) > 0
 
 
+def test_asymmetric_rnn_learns():
+    """Central value net with its OWN recurrent core (central_value.py:
+    100-107, 189-203) alongside a recurrent actor — the memory task with a
+    central state (configs/test/test_rnn_multidiscrete_asymmetric analog).
+    MemoryEnv hides the goal after step 1: only memory can solve it."""
+    # the proven memory-task recipe (test_ppo_rnn.test_rnn_memory_task_
+    # learns) with the central-value critic switched on
+    params = asym_params(
+        env_name="test_env",
+        env_config={"use_central_value": True, "hide_object": True,
+                    "apply_dist_reward": True},
+        num_actors=64, horizon_length=64, minibatch_size=1024,
+        seq_length=8, mini_epochs=4, learning_rate=5e-4,
+        lr_schedule=None, tau=0.9, clip_value=False, entropy_coef=0.005,
+        normalize_input=False, normalize_value=False,
+    )
+    params["network"] = {
+        "name": "actor_critic", "separate": False,
+        "mlp": {"units": [64], "activation": "relu",
+                "initializer": {"name": "default"}},
+        "rnn": {"name": "lstm", "units": 64, "layers": 1},
+        "space": {"discrete": {}},
+    }
+    params["config"]["central_value_config"]["network"] = {
+        "name": "actor_critic", "central_value": True,
+        "mlp": {"units": [64], "activation": "relu",
+                "initializer": {"name": "default"}},
+        "rnn": {"name": "lstm", "units": 64, "layers": 1},
+    }
+    params["config"]["central_value_config"]["minibatch_size"] = 1024
+    agent = PPOAgent("t", params)
+    assert agent.is_rnn and agent.cv_is_rnn
+    state = agent.init_state()
+    assert state.cv_rnn_states is not None
+    fn = agent.make_train_fn()
+    m = None
+    for _ in range(150):
+        state, m = fn(state)
+    assert np.isfinite(float(m["cval_loss"]))
+    # starts at ~ -3.0 (random-walk distance penalty); clear learning
+    assert float(m["mean_rewards"][0]) > -1.5
+    assert float(m["mean_lengths"]) < 19.5
+
+
 def test_asymmetric_cartpole_learns():
     """Velocity-masked CartPole is a POMDP: a memoryless policy plateaus
     around ~44 (measured). The gate checks clear learning above the random

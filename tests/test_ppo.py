@@ -106,6 +106,68 @@ def test_pendulum_continuous_trains():
     assert 1e-6 <= float(m["lr"]) <= 1e-2
 
 
+def test_set_param_mutates_gamma_mid_run():
+    """BaseAlgorithm get/set_param (interfaces/base_algorithm.py:5-49,
+    a2c_common.py:725-772): config-level params mutate mid-run; the
+    compiled epoch is re-derived and actually uses the new value."""
+    agent = PPOAgent("t", cartpole_params(gamma=0.99))
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    state, m1 = fn(state)
+    assert agent.get_param("gamma") == 0.99
+
+    state = agent.set_param("gamma", 0.0, state)
+    assert agent._program_stale
+    agent._rebuild_stale_program()
+    fn2 = agent.make_train_fn(donate=False)
+    state_a, m_a = fn2(state)
+
+    # same state through the OLD program (gamma 0.99 baked in) diverges —
+    # proving the new program picked the new constant up
+    state_b, m_b = fn(state)
+    assert float(m_a["c_loss"]) != float(m_b["c_loss"])
+    assert agent.get_param("gamma") == 0.0
+
+    # state-resident params mutate without recompile
+    state = agent.set_param("entropy_coef", 0.05, state_a)
+    assert abs(agent.get_param("entropy_coef", state) - 0.05) < 1e-7
+    assert not agent._program_stale
+
+
+def test_full_state_weights_roundtrip():
+    """get/set_full_state_weights (a2c_common.py:650-688)."""
+    agent = PPOAgent("t", cartpole_params())
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    state, _ = fn(state)
+    full = agent.get_full_state_weights(state, last_mean_rewards=12.5)
+    assert full["epoch"] == 1 and full["last_mean_rewards"] == 12.5
+
+    fresh = agent.init_state()
+    restored = agent.set_full_state_weights(fresh, full)
+    assert int(restored.epoch) == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    # set_epoch=False keeps the target's counters (PBT warm-start)
+    kept = agent.set_full_state_weights(fresh, full, set_epoch=False)
+    assert int(kept.epoch) == 0
+
+
+def test_pbt_adoption_resets_optimizer():
+    agent = PPOAgent("t", cartpole_params())
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    state, _ = fn(state)
+    # Adam moments are nonzero after a step; reset zeroes them
+    mu_leaf = jax.tree.leaves(state.opt_state)[0]
+    assert float(jnp.abs(np.asarray(mu_leaf)).max()) > 0.0
+    reset = agent.reset_optimizer(state)
+    mu_leaf2 = jax.tree.leaves(reset.opt_state)[0]
+    assert float(jnp.abs(np.asarray(mu_leaf2)).max()) == 0.0
+
+
 def test_use_diagnostics_per_miniepoch_family():
     """PpoDiagnostics analog (diagnostics.py:18-60): per-miniepoch kl and
     clip-frac arrays plus normalizer-state scalars in the metrics."""

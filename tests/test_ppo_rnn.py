@@ -44,7 +44,7 @@ def test_rnn_rollout_update_consistency():
     state = agent.init_state()
 
     state2, traj, last_values, snapshots = jax.jit(agent._rollout)(state)
-    state3, dataset, rnn_ds_states = agent._prepare_dataset(
+    state3, dataset, (rnn_ds_states, _cv_rnn_ds) = agent._prepare_dataset(
         state2, traj, last_values, snapshots
     )
     # first minibatch = first games_num sequences

@@ -1,0 +1,117 @@
+"""Reference config-zoo smoke tests: every ported YAML in configs/ref/
+loads through the Runner, builds its agent, and runs one (shrunk) epoch —
+proving the README's claim that reference configs map field-for-field.
+
+Atari configs are build-only (no ale_py in the image): the schema loads and
+the network builds + forwards at the Atari obs shape.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+CONFIG_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "rl_games_tpu", "configs", "ref",
+)
+ALL_CONFIGS = sorted(
+    glob.glob(os.path.join(CONFIG_ROOT, "**", "*.yaml"), recursive=True)
+)
+IDS = [os.path.relpath(p, CONFIG_ROOT) for p in ALL_CONFIGS]
+
+
+def _family(path):
+    rel = os.path.relpath(path, CONFIG_ROOT)
+    return os.path.dirname(rel)
+
+
+def _shrink(params):
+    cfg = params["config"]
+    algo = params["algo"]["name"]
+    is_rnn = "rnn" in params.get("network", {})
+    cfg.pop("max_frames", None)
+    cfg.pop("max_steps", None)
+    cfg["max_epochs"] = 1
+    cfg["save_frequency"] = 0
+    cfg["print_stats"] = False
+    if algo == "sac":
+        cfg["num_actors"] = 4
+        cfg["batch_size"] = 32
+        cfg["replay_buffer_size"] = 1024
+        cfg["num_warmup_steps"] = 1
+        cfg.pop("num_warmup_frames", None)
+        cfg["num_steps_per_episode"] = 2
+        cfg["utd_ratio"] = 0.5
+        cfg.pop("num_updates_per_step", None)
+        cfg["log_interval"] = 1
+    else:
+        seq = 4 if is_rnn else 1
+        cfg["seq_length"] = seq
+        cfg["num_actors"] = 8
+        cfg["horizon_length"] = 8
+        cfg["minibatch_size"] = 32
+        cfg.pop("minibatch_size_per_env", None)
+        cfg["mini_epochs"] = 1
+        cv = cfg.get("central_value_config")
+        if cv:
+            cv["minibatch_size"] = 32
+            cv.pop("minibatch_size_per_env", None)
+            cv["mini_epochs"] = 1
+    return params
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=IDS)
+def test_ref_config_smoke(path):
+    from rl_games_tpu.runner import Runner
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    assert "params" in doc and "config" in doc["params"]
+
+    if _family(path) == "atari":
+        _build_only(doc)
+        return
+
+    runner = Runner()
+    runner.load(doc)
+    _shrink(runner.params)
+    agent = runner.create_agent()
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    state, metrics = fn(state)
+    for key in ("a_loss", "critic_loss"):
+        if key in metrics:
+            assert np.isfinite(float(metrics[key])), (path, key)
+
+
+def _build_only(doc):
+    """No ale_py in the image: prove the network side of the config builds
+    and forwards at the Atari obs shape (the env binding is exercised by
+    the wrapper-stack tests, tests/test_wrappers.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rl_games_tpu.models import model_builder
+
+    params = doc["params"]
+    obs_shape = (84, 84, 4)
+    model = model_builder.ModelBuilder().load(
+        params,
+        actions_num=6,
+        input_shape=obs_shape,
+        value_size=1,
+        normalize_input=params["config"].get("normalize_input", False),
+        normalize_value=params["config"].get("normalize_value", False),
+        obs_shape=obs_shape,
+    )
+    rng = jax.random.PRNGKey(0)
+    obs = jnp.zeros((2,) + obs_shape, jnp.float32)
+    rnn_states = model.get_default_rnn_state(2) if model.is_rnn() else None
+    p, norm = model.init(rng, obs, rnn_states=rnn_states)
+    out = model.forward_play(
+        p, norm, rng, obs, rnn_states=rnn_states, seq_length=1
+    )
+    assert np.isfinite(np.asarray(out["values"])).all()
