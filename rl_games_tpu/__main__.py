@@ -44,6 +44,25 @@ def main():
     runner = Runner()
     runner.load(config)
 
+    # wandb tracking mirrors runner.py:62-71 (sync_tensorboard so the TB
+    # scalar families stream through); the package is optional
+    wandb_run = None
+    if args["track"]:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=args["wandb_project_name"],
+                entity=args["wandb_entity"],
+                sync_tensorboard=True,
+                config=config,
+                monitor_gym=True,
+                save_code=True,
+            )
+        except ImportError:
+            print("--track requested but wandb is not installed; continuing "
+                  "with TensorBoard only")
+
     if args["profile"]:
         import jax
 
@@ -52,6 +71,9 @@ def main():
         print("profiler trace written to /tmp/rl_games_tpu_trace")
     else:
         runner.run(args)
+
+    if wandb_run is not None:
+        wandb_run.finish()
 
 
 if __name__ == "__main__":

@@ -1367,6 +1367,51 @@ class PPOAgent:
             return state
         raise NotImplementedError(f"No param found for {param_name}")
 
+    def override_sigma(self, state: PPOTrainState, sigma: float):
+        """--sigma CLI override (_override_sigma, torch_runner.py:52-60):
+        fill the fixed-sigma parameter with a constant. The raw 'sigma'
+        leaf is what the parametrization (exp/softplus) consumes, matching
+        the reference's net.sigma.fill_()."""
+        if not self.is_continuous:
+            print("Cannot set new sigma: action space is not continuous")
+            return state
+        fixed = (
+            self.full_params.get("network", {})
+            .get("space", {})
+            .get("continuous", {})
+            .get("fixed_sigma", True)
+        )
+        if not fixed:
+            print("Cannot set new sigma because fixed_sigma is False")
+            return state
+
+        def repl(path, leaf):
+            last = path[-1]
+            key = getattr(last, "key", getattr(last, "name", None))
+            if key == "sigma":
+                return jnp.full_like(leaf, float(sigma))
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(repl, state.params)
+        return state.replace(params=params)
+
+    def restore_central_value_only(self, checkpoint: str,
+                                   state: PPOTrainState) -> PPOTrainState:
+        """load_critic_only (torch_runner.py:46-49): warm-start just the
+        central-value net from a checkpoint."""
+        if not self.has_central_value:
+            raise ValueError(
+                "Loading critic only works only for asymmetric actor critic"
+            )
+        from rl_games_tpu.utils import checkpoint as ckpt
+
+        loaded, _ = ckpt.load_checkpoint(checkpoint, state)
+        return state.replace(
+            cv_params=loaded.cv_params,
+            cv_opt=loaded.cv_opt,
+            cv_norm=loaded.cv_norm,
+        )
+
     def reset_optimizer(self, state: PPOTrainState) -> PPOTrainState:
         """Fresh Adam moments. Used on PBT in-process adoption — carrying
         the laggard's moments against the leader's weights is wrong (the
@@ -1401,6 +1446,8 @@ class PPOAgent:
         stop_fn=None,
         writer=None,
         max_epochs: Optional[int] = None,
+        sigma: Optional[float] = None,
+        load_critic_only: bool = False,
     ):
         from rl_games_tpu.utils import checkpoint as ckpt
         from rl_games_tpu.utils.writer import create_writer, write_ppo_stats
@@ -1418,8 +1465,16 @@ class PPOAgent:
         state = self.init_state()
         last_mean_rewards = -100500.0  # reference sentinel
         if checkpoint:
-            state, meta = ckpt.load_checkpoint(checkpoint, state)
-            last_mean_rewards = meta.get("last_mean_rewards", last_mean_rewards)
+            if load_critic_only:
+                # critic warm-start (torch_runner.py:46-49)
+                state = self.restore_central_value_only(checkpoint, state)
+            else:
+                state, meta = ckpt.load_checkpoint(checkpoint, state)
+                last_mean_rewards = meta.get(
+                    "last_mean_rewards", last_mean_rewards
+                )
+        if sigma is not None:
+            state = self.override_sigma(state, sigma)
 
         if writer is None:
             writer = create_writer(summaries_dir)

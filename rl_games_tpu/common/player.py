@@ -80,6 +80,32 @@ class BasePlayer:
     def _actor_obs(self, obs):
         return obs["obs"] if isinstance(obs, dict) else obs
 
+    def override_sigma(self, sigma: float):
+        """--sigma at play time (_override_sigma, torch_runner.py:52-60)."""
+        if not self.is_continuous:
+            print("Cannot set new sigma: action space is not continuous")
+            return
+        fixed = (
+            self.params.get("network", {})
+            .get("space", {})
+            .get("continuous", {})
+            .get("fixed_sigma", True)
+        )
+        if not fixed:
+            print("Cannot set new sigma because fixed_sigma is False")
+            return
+
+        def repl(path, leaf):
+            last = path[-1]
+            key = getattr(last, "key", getattr(last, "name", None))
+            if key == "sigma":
+                return jnp.full_like(leaf, float(sigma))
+            return leaf
+
+        self.net_params = jax.tree_util.tree_map_with_path(
+            repl, self.net_params
+        )
+
     def _env_actions(self, actions):
         if not self.is_continuous:
             return actions

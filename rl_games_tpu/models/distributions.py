@@ -202,3 +202,57 @@ def _scatter_twohot(shape, n_bins, idx_lo, idx_hi, w_lo, w_hi):
 def twohot_decode(logits, bins):
     probs = jax.nn.softmax(logits, axis=-1)
     return (probs * bins).sum(axis=-1)
+
+
+# the reference TwoHotDist's fixed bucket grid (distributions.py:72):
+# 255 bins over [-20, 20] in symlog space
+TWOHOT_BINS = jnp.linspace(-20.0, 20.0, 255)
+
+
+def twohot_log_prob(logits, targets, bins=None):
+    """TwoHotDist.log_prob (distributions.py:80-93): interpolated log-prob
+    of scalar `targets` under the categorical over `bins`."""
+    bins = TWOHOT_BINS if bins is None else bins
+    width = (bins[-1] - bins[0]) / len(bins)
+    x = (targets - bins[0]) / width
+    lo = jnp.clip(x.astype(jnp.int32), 0, len(bins) - 2)
+    hi = lo + 1
+    w_lo = jnp.abs(x - hi)
+    w_hi = jnp.abs(x - lo)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lo_lp = jnp.take_along_axis(logp, lo[..., None], axis=-1)[..., 0]
+    hi_lp = jnp.take_along_axis(logp, hi[..., None], axis=-1)[..., 0]
+    return w_lo * lo_lp + w_hi * hi_lp
+
+
+class OneHotDist:
+    """Straight-through one-hot categorical (reference OneHotDist,
+    distributions.py:47-58): samples/modes are one-hot with gradients
+    flowing through the softmax probs."""
+
+    def __init__(self, logits, unimix_ratio: float = 0.0):
+        if unimix_ratio > 0.0:
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = (
+                probs * (1.0 - unimix_ratio) + unimix_ratio / probs.shape[-1]
+            )
+            logits = jnp.log(probs)
+        self.logits = logits
+
+    def _straight_through(self, hard):
+        probs = jax.nn.softmax(self.logits, axis=-1)
+        return jax.lax.stop_gradient(hard - probs) + probs
+
+    def mode(self):
+        hard = jax.nn.one_hot(
+            jnp.argmax(self.logits, axis=-1), self.logits.shape[-1]
+        )
+        return self._straight_through(hard)
+
+    def sample(self, key):
+        idx = jax.random.categorical(key, self.logits, axis=-1)
+        hard = jax.nn.one_hot(idx, self.logits.shape[-1])
+        return self._straight_through(hard)
+
+    def log_prob(self, one_hot):
+        return (jax.nn.log_softmax(self.logits, axis=-1) * one_hot).sum(-1)

@@ -203,14 +203,42 @@ class A2CNetwork(nn.Module):
             new_rnn_states = tuple(s) if has_rnn and s is not None else None
 
         # -- heads
+        # value-head types (network_builder.py:200-208 _build_value_layer):
+        # 'legacy'/'default' = linear; 'twohot'/'twohot_encoded' = 255-bin
+        # DreamerV3-style two-hot head (common/layers/value.py:26-45):
+        # logits -> TwoHotDist mode -> symexp
+        value_type = cfg.get("value_head", cfg.get("value_type", "legacy"))
         value_act = L.get_activation(cfg.get("value_activation", "None"))
-        value = value_act(
-            L.make_dense(self.value_size, mlp_cfg.get("initializer"), name="value")(
-                c_out
-            )
-        )
+        if value_type in ("twohot", "twohot_encoded"):
+            from flax import linen as nn
 
-        out = {"value": value, "rnn_states": new_rnn_states}
+            from rl_games_tpu.models.distributions import (
+                TWOHOT_BINS, symexp, twohot_decode,
+            )
+
+            assert self.value_size == 1, "twohot value head requires value_size 1"
+            value_logits = nn.Dense(
+                len(TWOHOT_BINS),
+                kernel_init=nn.initializers.variance_scaling(
+                    0.05**2, "fan_avg", "uniform"  # xavier gain 0.05
+                ),
+                name="value",
+            )(c_out)
+            value = symexp(twohot_decode(value_logits, TWOHOT_BINS))[..., None]
+            out = {
+                "value": value,
+                "value_logits": value_logits,
+                "rnn_states": new_rnn_states,
+            }
+            if central_value:
+                return out
+        else:
+            value = value_act(
+                L.make_dense(
+                    self.value_size, mlp_cfg.get("initializer"), name="value"
+                )(c_out)
+            )
+            out = {"value": value, "rnn_states": new_rnn_states}
 
         if central_value:
             return out

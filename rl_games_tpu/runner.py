@@ -43,6 +43,32 @@ def _build_sac_player(**kwargs):
     return SACPlayer(**kwargs)
 
 
+def _resolve_stop_fn(stop_fn):
+    """Accept a callable or a 'pkg.mod:fn' / 'pkg.mod.fn' import path
+    (torch_runner.py:63-80)."""
+    if stop_fn is None or callable(stop_fn):
+        return stop_fn
+    if not isinstance(stop_fn, str):
+        raise ValueError(
+            "'stop_fn' must be callable or 'module:function' string, got "
+            f"{type(stop_fn).__name__}"
+        )
+    import importlib
+
+    if ":" in stop_fn:
+        module_path, attr = stop_fn.split(":", 1)
+    else:
+        module_path, _, attr = stop_fn.rpartition(".")
+        if not module_path:
+            raise ValueError(
+                f"'stop_fn' string must reference a module attribute: {stop_fn!r}"
+            )
+    fn = getattr(importlib.import_module(module_path), attr)
+    if not callable(fn):
+        raise ValueError(f"'stop_fn' resolved {stop_fn!r} is not callable")
+    return fn
+
+
 class Runner:
     def __init__(self, algo_observer=None):
         self.algo_factory = ObjectFactory()
@@ -102,10 +128,22 @@ class Runner:
         """torch_runner.py:233-321."""
         print("Started to train")
         agent = self.create_agent()
+        # stop_fn: programmatic args win over YAML config (torch_runner.py
+        # _apply_stop_fn :83-95); strings resolve to import paths
+        stop_fn = _resolve_stop_fn(
+            args.get("stop_fn") or self.params["config"].get("stop_fn")
+        )
+        kwargs = {}
+        if self.algo_name != "sac":
+            if args.get("sigma") is not None:
+                kwargs["sigma"] = args["sigma"]
+            if args.get("load_critic_only"):
+                kwargs["load_critic_only"] = True
         return agent.train(
             mesh=self.mesh,
             checkpoint=args.get("checkpoint"),
-            stop_fn=args.get("stop_fn"),
+            stop_fn=stop_fn,
+            **kwargs,
         )
 
     def create_player(self):
@@ -120,6 +158,8 @@ class Runner:
         checkpoint = args.get("checkpoint")
         if checkpoint:
             player.restore(checkpoint)
+        if args.get("sigma") is not None and hasattr(player, "override_sigma"):
+            player.override_sigma(args["sigma"])
         return player.run(**args.get("player", {}))
 
     def run(self, args: Dict[str, Any]):

@@ -256,3 +256,32 @@ def test_mixed_precision_trains():
 
     dtypes = {x.dtype for x in jax.tree.leaves(state.params)}
     assert all(str(d) == "float32" for d in dtypes)
+
+
+def test_twohot_value_head_trains_cartpole():
+    """'value_head: twohot' (network_builder.py:200-208 +
+    common/layers/value.py:26-45): 255-bin two-hot value head, decoded via
+    symexp, trains CartPole."""
+    params = cartpole_params()
+    params["network"]["value_head"] = "twohot"
+    agent = PPOAgent("t", params)
+    state, m = run_epochs(agent, 100)
+    assert float(m["mean_rewards"][0]) > 100.0
+    assert np.isfinite(float(m["c_loss"]))
+
+
+def test_onehot_dist_straight_through():
+    from rl_games_tpu.models.distributions import OneHotDist
+
+    logits = jnp.asarray([[2.0, 0.5, -1.0]])
+
+    def f(lg):
+        return (OneHotDist(lg).mode() * jnp.asarray([1.0, 2.0, 3.0])).sum()
+
+    val = f(logits)
+    assert float(val) == 1.0  # argmax bin 0
+    g = jax.grad(f)(logits)
+    # straight-through: gradients flow through softmax probs (nonzero)
+    assert float(jnp.abs(g).sum()) > 0.0
+    s = OneHotDist(logits).sample(jax.random.PRNGKey(0))
+    assert s.shape == logits.shape and float(s.sum()) == 1.0

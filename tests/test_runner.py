@@ -124,3 +124,80 @@ def test_evaluation_mode_checkpoint_watch(tmp_path):
     assert not player.maybe_load_new_checkpoint()  # no newer one
     reward = player.run()
     assert np.isfinite(reward)
+
+
+def _stop_immediately(algo):
+    """Target for the stop_fn import-path test."""
+    return True
+
+
+def test_stop_fn_resolution_from_config(tmp_path):
+    """Config stop_fn as 'module:function' string resolves and fires
+    (torch_runner.py:63-95)."""
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=50)
+    cfg["params"]["config"]["stop_fn"] = "test_runner:_stop_immediately"
+    runner = Runner()
+    runner.load(cfg)
+    _, epochs = runner.run({"train": True})
+    assert epochs == 1  # stopped after the first epoch
+
+
+def test_sigma_override_train_and_play(tmp_path):
+    """--sigma fills the fixed-sigma parameter (torch_runner.py:52-60)."""
+    import jax
+
+    cfg = shrink(load_cfg("ppo_pendulum.yaml"), tmp_path, max_epochs=1)
+    runner = Runner()
+    runner.load(cfg)
+    agent = runner.create_agent()
+    state = agent.init_state()
+    state = agent.override_sigma(state, -1.5)
+    sigmas = [
+        np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if getattr(path[-1], "key", None) == "sigma"
+    ]
+    assert sigmas and all(np.allclose(s, -1.5) for s in sigmas)
+
+    player = runner.create_player()
+    player.override_sigma(-0.5)
+    sigmas = [
+        np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            player.net_params
+        )[0]
+        if getattr(path[-1], "key", None) == "sigma"
+    ]
+    assert sigmas and all(np.allclose(s, -0.5) for s in sigmas)
+
+
+def test_load_critic_only(tmp_path):
+    """Critic warm-start restores ONLY the central-value net
+    (torch_runner.py:46-49)."""
+    import jax
+    from rl_games_tpu.algos.ppo import PPOAgent
+    from rl_games_tpu.utils import checkpoint as ckpt
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_central_value import asym_params
+
+    agent = PPOAgent("t", asym_params())
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    trained, _ = fn(state)
+    path = os.path.join(str(tmp_path), "cv.ckpt")
+    ckpt.save_checkpoint(path, trained, {})
+
+    fresh = agent.init_state(seed=123)
+    warm = agent.restore_central_value_only(path, fresh)
+    # cv params match the checkpoint...
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(warm.cv_params)[0]),
+        np.asarray(jax.tree.leaves(trained.cv_params)[0]),
+    )
+    # ...actor params stay fresh
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(warm.params)[0]),
+        np.asarray(jax.tree.leaves(fresh.params)[0]),
+    )
