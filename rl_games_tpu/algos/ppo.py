@@ -203,6 +203,16 @@ class PPOAgent:
         self.value_bootstrap = config.get("value_bootstrap", True)
         self.use_smooth_clamp = config.get("use_smooth_clamp", False)
         self.use_diagnostics = config.get("use_diagnostics", False)
+        # soft augmentation: KL-consistency aux loss on transformed obs
+        # (common/transforms/soft_augmentation.py; features.soft_augmentation)
+        soft_aug_cfg = (config.get("features") or {}).get("soft_augmentation")
+        self.soft_aug = None
+        self.soft_aug_coef = 0.0
+        if soft_aug_cfg:
+            from rl_games_tpu.common.transforms import build_transform
+
+            self.soft_aug = build_transform(soft_aug_cfg.get("transform", {}))
+            self.soft_aug_coef = float(soft_aug_cfg.get("aug_coef", 0.001))
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
         self._rollout_time = None  # calibrated under use_diagnostics
         self._last_timing = None  # host-path real split
@@ -711,7 +721,7 @@ class PPOAgent:
                 cv_rnn_dataset_states = to_dataset_states(cv_snaps)
         return state, dataset, (rnn_dataset_states, cv_rnn_dataset_states)
 
-    def _loss_and_kl(self, params, norm, mb, entropy_coef):
+    def _loss_and_kl(self, params, norm, mb, entropy_coef, aug_key=None):
         """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
         if self.mixed_precision:
             # bf16 network compute; losses/stats stay f32 (bf16 keeps f32's
@@ -778,6 +788,25 @@ class PPOAgent:
         # (get_aux_loss, a2c_continuous.py:194-202)
         for v in (res.get("aux_losses") or {}).values():
             total = total + v.mean()
+        if self.soft_aug is not None and aug_key is not None:
+            # soft augmentation (soft_augmentation.py:18-31): KL between
+            # the (detached) policy on the original obs and the policy on
+            # augmented obs, plus a value-consistency MSE
+            aug_obs = self.soft_aug(aug_key, self._actor_obs(mb["obses"]))
+            q = self.model.forward_train(
+                params, norm, aug_obs, mb["actions"], **rnn_kwargs
+            )
+            sg = jax.lax.stop_gradient
+            if self.is_continuous:
+                aug_kl = self.model.kl(
+                    sg(res["mus"]), sg(res["sigmas"]), q["mus"], q["sigmas"]
+                ).mean()
+            else:
+                aug_kl = self.model.kl(sg(res["logits"]), q["logits"]).mean()
+            v_cons = (
+                0.5 * jnp.square(sg(res["values"]) - q["values"])
+            ).sum(-1).mean()
+            total = total + self.soft_aug_coef * (aug_kl + v_cons)
         if self.is_continuous:
             kl = self.model.kl(
                 res["mus"], res["sigmas"], mb["mus"], mb["sigmas"]
@@ -825,7 +854,8 @@ class PPOAgent:
             )
             return mb
 
-        def minibatch_step(carry, sel):
+        def minibatch_step(carry, xs):
+            sel, mb_key = xs
             params, opt_state, ds, lr, ec = carry
             mb = slice_mb(ds, sel)
             if self.is_rnn:
@@ -838,7 +868,7 @@ class PPOAgent:
                 )
 
             grad_fn = jax.value_and_grad(
-                lambda p: self._loss_and_kl(p, state.norm, mb, ec),
+                lambda p: self._loss_and_kl(p, state.norm, mb, ec, mb_key),
                 has_aux=True,
             )
             (_, aux), grads = grad_fn(params)
@@ -880,8 +910,11 @@ class PPOAgent:
                 sels = perm.reshape(self.num_minibatches, self.minibatch_size)
             else:
                 sels = starts
+            rng, mbk = jax.random.split(rng)
+            mb_keys = jax.random.split(mbk, self.num_minibatches)
             (params, opt_state, ds, lr, ec), ms = jax.lax.scan(
-                minibatch_step, (params, opt_state, ds, lr, ec), sels
+                minibatch_step, (params, opt_state, ds, lr, ec),
+                (sels, mb_keys),
             )
             ep_kl = ms["kl"].mean()
             if not legacy:
@@ -1040,7 +1073,10 @@ class PPOAgent:
             self._prepare_dataset(state, traj, last_values, rnn_snapshots)
         )
         cval_loss = None
-        if self.has_central_value:
+        # freeze_critic skips central-value training entirely
+        # (central_value.py:253-255); the value-normalizer freeze happens
+        # in _prepare_dataset (a2c_common.py:1324)
+        if self.has_central_value and not self.freeze_critic:
             state, cval_loss = self._update_central_value(
                 state, dataset, cv_rnn_ds_states
             )

@@ -586,12 +586,36 @@ class SACAgent:
     def make_train_fn(self, mesh=None, donate: bool = True):
         if self.is_host_env:
             return self.host_train_epoch
-        # fresh lambda: avoid jax's bound-method trace cache serving
-        # stale baked-in constants after set_param mutations
-        return jax.jit(
-            lambda s: self.train_epoch(s),
-            donate_argnums=(0,) if donate else (),
-        )
+        donate_args = (0,) if donate else ()
+        if mesh is None:
+            # fresh lambda: avoid jax's bound-method trace cache serving
+            # stale baked-in constants after set_param mutations
+            return jax.jit(
+                lambda s: self.train_epoch(s), donate_argnums=donate_args
+            )
+
+        # SPMD SAC over the mesh — beyond the reference, whose SAC is
+        # single-GPU (sac_agent.py has no DDP path): env batch AND replay
+        # capacity shard over 'data', params replicate; the logical
+        # program (global-uniform sampling, batched writes) is unchanged,
+        # so 1-chip == N-chip by construction (tests/test_sac.py)
+        from rl_games_tpu.parallel.mesh import sac_state_shardings
+
+        cache = {}
+
+        def wrapper(state):
+            if "fn" not in cache:
+                shardings = sac_state_shardings(state, mesh)
+                cache["fn"] = jax.jit(
+                    lambda s: self.train_epoch(s),
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, None),
+                    donate_argnums=donate_args,
+                )
+                state = jax.device_put(state, shardings)
+            return cache["fn"](state)
+
+        return wrapper
 
     # ------------------------------------------------------------------
     # host-env path (the reference's envpool/gymnasium SAC loop: env steps

@@ -210,8 +210,6 @@ class A2CNetwork(nn.Module):
         value_type = cfg.get("value_head", cfg.get("value_type", "legacy"))
         value_act = L.get_activation(cfg.get("value_activation", "None"))
         if value_type in ("twohot", "twohot_encoded"):
-            from flax import linen as nn
-
             from rl_games_tpu.models.distributions import (
                 TWOHOT_BINS, symexp, twohot_decode,
             )

@@ -169,3 +169,109 @@ def moving_update(
 def moving_normalize(state: MovingMeanStdState, x: jnp.ndarray) -> jnp.ndarray:
     eps = 1e-05
     return (x - state.mean) / jnp.sqrt(state.var + eps)
+
+
+# ---------------------------------------------------------------------------
+# GeneralizedMovingStats — the full impl family (moving_mean_std.py:7-139):
+# 'mean_std' (+ '_corr' zero-debias), 'min_max', 'perc_ema' (+ '_corr'),
+# normalizing to (x - offset) / invscale clamped to ±5, denorm inverse.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class GeneralizedMovingStatsState:
+    low: jnp.ndarray   # mean for mean_std impls; low/offset otherwise
+    high: jnp.ndarray  # E[x²] for mean_std impls; high otherwise
+    step: jnp.ndarray  # int32 — drives the '_corr' zero-debias
+
+
+def generalized_moving_stats_init(shape) -> GeneralizedMovingStatsState:
+    shape = tuple(shape) if not isinstance(shape, int) else (shape,)
+    return GeneralizedMovingStatsState(
+        low=jnp.zeros(shape, jnp.float32),
+        high=jnp.zeros(shape, jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def generalized_moving_stats_update(
+    state: GeneralizedMovingStatsState,
+    x: jnp.ndarray,
+    impl: str = "mean_std",
+    decay: float = 0.99,
+    perclo: float = 0.05,
+    perchi: float = 0.95,
+) -> GeneralizedMovingStatsState:
+    """_update_stats (moving_mean_std.py:107-126)."""
+    m = decay
+    x = x.astype(jnp.float32)
+    axes = _batch_axes(x, state.low.ndim)
+    if impl == "off":
+        return state
+    if impl in ("mean_std", "mean_std_corr"):
+        x_mean = x.mean(axis=axes)
+        x_sqr = (x * x).mean(axis=axes)
+        return GeneralizedMovingStatsState(
+            low=m * state.low + (1 - m) * x_mean,
+            high=m * state.high + (1 - m) * x_sqr,
+            step=state.step + 1,
+        )
+    if impl == "min_max":
+        low, high = x.min(), x.max()
+        return GeneralizedMovingStatsState(
+            low=m * state.low + (1 - m) * jnp.minimum(state.low, low),
+            high=m * state.high + (1 - m) * jnp.maximum(state.high, high),
+            step=state.step + 1,
+        )
+    if impl in ("perc_ema", "perc_ema_corr"):
+        low = jnp.quantile(x, perclo)
+        high = jnp.quantile(x, perchi)
+        return GeneralizedMovingStatsState(
+            low=m * state.low + (1 - m) * low,
+            high=m * state.high + (1 - m) * high,
+            step=state.step + 1,
+        )
+    raise NotImplementedError(impl)
+
+
+def generalized_moving_stats_get(
+    state: GeneralizedMovingStatsState,
+    impl: str = "mean_std",
+    decay: float = 0.99,
+    max_scale: float = 1e5,
+    eps: float = 0.0,
+):
+    """_get_stats (moving_mean_std.py:50-79) → (offset, invscale)."""
+    if impl == "off":
+        return 0.0, 1.0
+    if impl in ("mean_std", "mean_std_corr"):
+        corr = (
+            1.0 - decay ** state.step.astype(jnp.float32)
+            if impl == "mean_std_corr"
+            else 1.0
+        )
+        mean = state.low / jnp.maximum(corr, 1e-8) if impl == "mean_std_corr" else state.low
+        sqrs = state.high / jnp.maximum(corr, 1e-8) if impl == "mean_std_corr" else state.high
+        var = sqrs - jnp.square(mean)
+        std = jnp.sqrt(jnp.maximum(var, 1.0 / max_scale**2) + eps)
+        return mean, std
+    if impl in ("min_max", "perc_ema", "perc_ema_corr"):
+        lo, hi = state.low, state.high
+        if impl == "perc_ema_corr":
+            corr = jnp.maximum(
+                1.0 - decay ** state.step.astype(jnp.float32), 1e-8
+            )
+            lo, hi = lo / corr, hi / corr
+        invscale = jnp.maximum(hi - lo, 1.0 / max_scale)
+        return lo, invscale
+    raise NotImplementedError(impl)
+
+
+def generalized_moving_stats_normalize(
+    state: GeneralizedMovingStatsState, x, impl="mean_std", decay=0.99,
+    denorm=False,
+):
+    offset, invscale = generalized_moving_stats_get(state, impl, decay)
+    if denorm:
+        return x * invscale + offset
+    return jnp.clip((x - offset) / invscale, -5.0, 5.0)

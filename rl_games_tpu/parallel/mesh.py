@@ -63,6 +63,36 @@ def ppo_state_shardings(state, mesh: Mesh):
     return tree_map_with_path(pick, state)
 
 
+# fields of SACTrainState with a leading env axis; the replay ring buffer
+# shards its CAPACITY axis so each chip holds a slice — the logical program
+# (global-uniform sampling, global batched writes) is unchanged, XLA inserts
+# the cross-chip gathers, so 1-chip == N-chip by construction
+_SAC_DATA_FIELDS = (
+    "env_state",
+    "obs",
+    "current_rewards",
+    "current_lengths",
+    "replay",
+)
+
+
+def sac_state_shardings(state, mesh: Mesh):
+    """Shardings for a SACTrainState: env batch + replay capacity over
+    'data'; params/targets/opts/normalizers/meters replicated."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def pick(path, leaf):
+        top = getattr(path[0], "name", None)
+        if top in _SAC_DATA_FIELDS:
+            if _path_has(path, "key") or np.ndim(leaf) == 0:
+                return repl
+            return data
+        return repl
+
+    return tree_map_with_path(pick, state)
+
+
 def replicated_shardings(tree, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     return jax.tree.map(lambda _: repl, tree)

@@ -32,7 +32,7 @@ def ma_params(**over):
         "gamma": 0.99, "tau": 0.95, "critic_coef": 1.0,
         "entropy_coef": 0.0, "grad_norm": 1.0, "truncate_grads": True,
         "normalize_advantage": True, "normalize_input": False,
-        "normalize_value": False, "value_bootstrap": True, "seed": 3,
+        "normalize_value": False, "value_bootstrap": True, "seed": 5,
         "bounds_loss_coef": 0.0001,
     }
     cfg.update(over)

@@ -280,3 +280,53 @@ def test_symlog_symexp_roundtrip():
     np.testing.assert_allclose(
         np.asarray(D.symexp(D.symlog(x))), np.asarray(x), rtol=1e-4
     )
+
+
+def test_random_shift_transform():
+    import jax
+    from rl_games_tpu.common.transforms import random_shift
+
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.normal(key, (4, 8, 8, 3))
+    out = random_shift(key, obs, pad=2)
+    assert out.shape == obs.shape
+    # shifted crops draw from the padded original's value range
+    assert float(jnp.abs(out).max()) <= float(jnp.abs(obs).max()) + 1e-6
+
+
+def test_generalized_moving_stats_variants():
+    """moving_mean_std.py:7-139 impl family."""
+    import numpy as onp
+    from rl_games_tpu.ops.running_stats import (
+        generalized_moving_stats_init,
+        generalized_moving_stats_normalize,
+        generalized_moving_stats_update,
+    )
+
+    rng = onp.random.RandomState(0)
+    x = jnp.asarray(rng.normal(3.0, 2.0, size=(512, 4)).astype("float32"))
+    for impl in ("mean_std", "mean_std_corr", "min_max", "perc_ema",
+                 "perc_ema_corr"):
+        st = generalized_moving_stats_init((4,) if "mean" in impl else ())
+        for _ in range(50):
+            st = generalized_moving_stats_update(st, x, impl=impl, decay=0.9)
+        y = generalized_moving_stats_normalize(st, x, impl=impl, decay=0.9)
+        assert onp.isfinite(onp.asarray(y)).all(), impl
+        if impl.startswith("mean_std"):
+            # converged EMA ≈ true moments → normalized ~N(0,1)
+            assert abs(float(y.mean())) < 0.2, impl
+            assert abs(float(y.std()) - 1.0) < 0.2, impl
+        else:
+            # scale-family: normalized into a bounded range
+            assert float(jnp.abs(y).max()) <= 5.0 + 1e-6, impl
+    # denorm inverts
+    st = generalized_moving_stats_init((4,))
+    st = generalized_moving_stats_update(st, x, impl="mean_std", decay=0.5)
+    y = generalized_moving_stats_normalize(st, x[:8], impl="mean_std")
+    x2 = generalized_moving_stats_normalize(
+        st, y, impl="mean_std", denorm=True
+    )
+    mask = onp.abs(onp.asarray(y)) < 4.9  # unclamped entries invert exactly
+    onp.testing.assert_allclose(
+        onp.asarray(x2)[mask], onp.asarray(x[:8])[mask], rtol=1e-4, atol=1e-4
+    )

@@ -285,3 +285,21 @@ def test_onehot_dist_straight_through():
     assert float(jnp.abs(g).sum()) > 0.0
     s = OneHotDist(logits).sample(jax.random.PRNGKey(0))
     assert s.shape == logits.shape and float(s.sum()) == 1.0
+
+
+def test_soft_augmentation_consistency_loss():
+    """features.soft_augmentation (common/transforms/soft_augmentation.py):
+    KL-consistency between the policy on original and augmented obs enters
+    the total loss; training still works."""
+    params = cartpole_params()
+    params["config"]["features"] = {
+        "soft_augmentation": {
+            "transform": {"name": "gaussian_noise", "std": 0.05},
+            "aug_coef": 0.01,
+        }
+    }
+    agent = PPOAgent("t", params)
+    assert agent.soft_aug is not None
+    state, m = run_epochs(agent, 40)
+    assert np.isfinite(float(m["a_loss"]))
+    assert float(m["mean_rewards"][0]) > 40.0

@@ -180,3 +180,39 @@ def test_sac_runner_and_player(tmp_path):
         {"play": True, "checkpoint": os.path.join(nn_dir, ckpts[0])}
     )
     assert np.isfinite(reward)
+
+
+def test_sac_multichip_matches_single_chip():
+    """SAC over the mesh (beyond the reference, whose SAC is single-GPU):
+    env batch + replay capacity shard over 'data'; the logical program is
+    unchanged so 1-chip == N-chip."""
+    from rl_games_tpu.parallel.mesh import create_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    # sizes divisible by the 4-way mesh
+    cfg1 = small_cfg(replay_buffer_size=1024, num_warmup_steps=1)
+    cfgN = small_cfg(replay_buffer_size=1024, num_warmup_steps=1)
+
+    a1 = SACAgent("t", cfg1["params"])
+    aN = SACAgent("t", cfgN["params"])
+    s1 = a1.init_state()
+    sN = aN.init_state()
+    f1 = a1.make_train_fn(donate=False)
+    mesh = create_mesh(jax.devices()[:4])
+    fN = aN.make_train_fn(mesh=mesh, donate=False)
+    for _ in range(3):
+        s1, m1 = f1(s1)
+        sN, mN = fN(sN)
+    np.testing.assert_allclose(
+        float(m1["critic_loss"]), float(mN["critic_loss"]), rtol=1e-3,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(m1["actor_loss"]), float(mN["actor_loss"]), rtol=1e-3,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sN.log_alpha)),
+        np.asarray(jax.device_get(s1.log_alpha)), rtol=1e-4,
+    )

@@ -114,8 +114,14 @@ def port_one(src, kind):
         if gym_id:
             cfg["env_name"] = gym_id
         cfg["vecenv_type"] = "GYMNASIUM"
-        # envpool-only env kwargs with no gymnasium analog
-        for k in ("use_contact_force", "steps_limit", "flat_observation"):
+        # envpool-only env kwargs: use_contact_force maps to gymnasium's
+        # include_cfrc_ext_in_observation (the published SAC Ant band
+        # depends on it — reference sac_ant_envpool.yaml comment)
+        if "use_contact_force" in env_cfg:
+            env_cfg["include_cfrc_ext_in_observation"] = env_cfg.pop(
+                "use_contact_force"
+            )
+        for k in ("steps_limit", "flat_observation"):
             env_cfg.pop(k, None)
         # v3/v4 MuJoCo ids -> v5 (the installed gymnasium generation)
         for old, new in (("-v3", "-v5"), ("-v4", "-v5")):
