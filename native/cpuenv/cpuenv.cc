@@ -34,6 +34,8 @@ struct EnvSpec {
   bool discrete;
   int num_actions;  // discrete action count
   int max_steps;
+  float act_low = -1.0f;   // continuous action bounds
+  float act_high = 1.0f;
 };
 
 // ---------------------------------------------------------------------------
@@ -137,6 +139,170 @@ class Pendulum : public Env {
   float th_ = 0, thdot_ = 0;
 };
 
+class Acrobot : public Env {
+  // gymnasium Acrobot-v1: two-link underactuated pendulum, RK4 at dt=0.2,
+  // torque in {-1, 0, +1} on the second joint; -1 reward per step until the
+  // tip swings above one link length.
+ public:
+  static EnvSpec spec() { return {6, 1, true, 3, 500}; }
+
+  void reset(std::mt19937& rng, float* obs) override {
+    std::uniform_real_distribution<float> d(-0.1f, 0.1f);
+    for (int i = 0; i < 4; ++i) s_[i] = d(rng);
+    write_obs(obs);
+  }
+
+  float step(const float* action, std::mt19937&, float* obs,
+             bool* terminated) override {
+    const float torque = static_cast<float>(static_cast<int>(action[0]) - 1);
+    // one RK4 step of 0.2 s
+    float y[4];
+    std::memcpy(y, s_, sizeof(y));
+    float k1[4], k2[4], k3[4], k4[4], t[4];
+    deriv(y, torque, k1);
+    for (int i = 0; i < 4; ++i) t[i] = y[i] + 0.1f * k1[i];
+    deriv(t, torque, k2);
+    for (int i = 0; i < 4; ++i) t[i] = y[i] + 0.1f * k2[i];
+    deriv(t, torque, k3);
+    for (int i = 0; i < 4; ++i) t[i] = y[i] + 0.2f * k3[i];
+    deriv(t, torque, k4);
+    for (int i = 0; i < 4; ++i)
+      s_[i] = y[i] + 0.2f / 6.0f * (k1[i] + 2 * k2[i] + 2 * k3[i] + k4[i]);
+    s_[0] = wrap(s_[0]);
+    s_[1] = wrap(s_[1]);
+    s_[2] = clampf(s_[2], -4.0f * kPi, 4.0f * kPi);
+    s_[3] = clampf(s_[3], -9.0f * kPi, 9.0f * kPi);
+    write_obs(obs);
+    *terminated = (-std::cos(s_[0]) - std::cos(s_[1] + s_[0])) > 1.0f;
+    return *terminated ? 0.0f : -1.0f;
+  }
+
+ private:
+  static float clampf(float v, float lo, float hi) {
+    return std::fmax(lo, std::fmin(hi, v));
+  }
+  static float wrap(float a) {
+    float r = std::fmod(a + kPi, 2.0f * kPi);
+    if (r < 0) r += 2.0f * kPi;
+    return r - kPi;
+  }
+  static void deriv(const float* y, float torque, float* dy) {
+    const float m1 = 1.0f, m2 = 1.0f, l1 = 1.0f, lc1 = 0.5f, lc2 = 0.5f;
+    const float I1 = 1.0f, I2 = 1.0f, g = 9.8f;
+    float th1 = y[0], th2 = y[1], dth1 = y[2], dth2 = y[3];
+    float d1 = m1 * lc1 * lc1 +
+               m2 * (l1 * l1 + lc2 * lc2 + 2 * l1 * lc2 * std::cos(th2)) +
+               I1 + I2;
+    float d2 = m2 * (lc2 * lc2 + l1 * lc2 * std::cos(th2)) + I2;
+    float phi2 = m2 * lc2 * g * std::cos(th1 + th2 - kPi / 2.0f);
+    float phi1 = -m2 * l1 * lc2 * dth2 * dth2 * std::sin(th2) -
+                 2 * m2 * l1 * lc2 * dth2 * dth1 * std::sin(th2) +
+                 (m1 * lc1 + m2 * l1) * g * std::cos(th1 - kPi / 2.0f) + phi2;
+    float ddth2 =
+        (torque + d2 / d1 * phi1 -
+         m2 * l1 * lc2 * dth1 * dth1 * std::sin(th2) - phi2) /
+        (m2 * lc2 * lc2 + I2 - d2 * d2 / d1);
+    float ddth1 = -(d2 * ddth2 + phi1) / d1;
+    dy[0] = dth1;
+    dy[1] = dth2;
+    dy[2] = ddth1;
+    dy[3] = ddth2;
+  }
+  void write_obs(float* obs) {
+    obs[0] = std::cos(s_[0]);
+    obs[1] = std::sin(s_[0]);
+    obs[2] = std::cos(s_[1]);
+    obs[3] = std::sin(s_[1]);
+    obs[4] = s_[2];
+    obs[5] = s_[3];
+  }
+  float s_[4] = {0, 0, 0, 0};
+};
+
+class MountainCarContinuous : public Env {
+  // gymnasium MountainCarContinuous-v0.
+ public:
+  static EnvSpec spec() { return {2, 1, false, 0, 999}; }
+
+  void reset(std::mt19937& rng, float* obs) override {
+    std::uniform_real_distribution<float> d(-0.6f, -0.4f);
+    pos_ = d(rng);
+    vel_ = 0.0f;
+    obs[0] = pos_;
+    obs[1] = vel_;
+  }
+
+  float step(const float* action, std::mt19937&, float* obs,
+             bool* terminated) override {
+    float force = std::fmax(-1.0f, std::fmin(1.0f, action[0]));
+    vel_ += force * 0.0015f - 0.0025f * std::cos(3.0f * pos_);
+    vel_ = std::fmax(-0.07f, std::fmin(0.07f, vel_));
+    pos_ += vel_;
+    if (pos_ < -1.2f) { pos_ = -1.2f; vel_ = 0.0f; }
+    if (pos_ > 0.6f) pos_ = 0.6f;
+    obs[0] = pos_;
+    obs[1] = vel_;
+    *terminated = pos_ >= 0.45f;
+    float reward = -0.1f * force * force;
+    if (*terminated) reward += 100.0f;
+    return reward;
+  }
+
+ private:
+  float pos_ = -0.5f, vel_ = 0.0f;
+};
+
+class Hopper2D : public Env {
+  // A cheap planar one-leg hopper (SLIP-style): ballistic flight + spring
+  // stance; actions = [thrust, lean]. Reward = forward velocity + alive
+  // bonus; terminates when the body crashes. Not a MuJoCo clone — a
+  // locomotion-shaped workload for the native stepper (the envpool-analog
+  // role, rl_games/envs/envpool.py).
+ public:
+  static EnvSpec spec() { return {5, 2, false, 0, 1000}; }
+
+  void reset(std::mt19937& rng, float* obs) override {
+    std::uniform_real_distribution<float> d(-0.01f, 0.01f);
+    x_ = 0; z_ = 1.1f + d(rng); vx_ = d(rng); vz_ = 0;
+    write_obs(obs);
+  }
+
+  float step(const float* action, std::mt19937&, float* obs,
+             bool* terminated) override {
+    const float dt = 0.02f, g = 9.8f, k = 120.0f, leg = 1.0f, m = 1.0f;
+    float thrust = std::fmax(0.0f, std::fmin(1.0f, action[0]));
+    float lean = std::fmax(-0.4f, std::fmin(0.4f, action[1]));
+    bool contact = z_ <= leg;
+    float fz = -m * g, fx = 0.0f;
+    if (contact) {
+      float compress = leg - z_;
+      // leg stiffness scales with thrust: an idle hopper sags below the
+      // crash height, so staying alive requires active hopping
+      float f_spring = k * (0.25f + 0.75f * thrust) * compress;
+      // leaning the leg tilts the ground-reaction force forward
+      fz += f_spring * std::cos(lean) - 4.0f * vz_;
+      fx += f_spring * std::sin(lean) - 0.8f * vx_;
+    }
+    vx_ += dt * fx / m;
+    vz_ += dt * fz / m;
+    x_ += dt * vx_;
+    z_ += dt * vz_;
+    write_obs(obs);
+    *terminated = z_ < 0.8f;
+    return vx_ + 0.5f - 0.01f * thrust * thrust;
+  }
+
+ private:
+  void write_obs(float* obs) {
+    obs[0] = z_;
+    obs[1] = vx_;
+    obs[2] = vz_;
+    obs[3] = z_ <= 1.0f ? 1.0f : 0.0f;
+    obs[4] = std::fmin(5.0f, std::fmax(-5.0f, vz_));
+  }
+  float x_ = 0, z_ = 1.1f, vx_ = 0, vz_ = 0;
+};
+
 // ---------------------------------------------------------------------------
 // Thread pool: persistent workers, chunked batch stepping
 // ---------------------------------------------------------------------------
@@ -215,12 +381,32 @@ struct VecEnv {
 std::unique_ptr<Env> make_env(const std::string& name) {
   if (name == "CartPole-v1") return std::make_unique<CartPole>();
   if (name == "Pendulum-v1") return std::make_unique<Pendulum>();
+  if (name == "Acrobot-v1") return std::make_unique<Acrobot>();
+  if (name == "MountainCarContinuous-v0")
+    return std::make_unique<MountainCarContinuous>();
+  if (name == "Hopper2D-v0") return std::make_unique<Hopper2D>();
   return nullptr;
 }
 
 EnvSpec spec_of(const std::string& name) {
   if (name == "CartPole-v1") return CartPole::spec();
-  return Pendulum::spec();
+  if (name == "Acrobot-v1") return Acrobot::spec();
+  if (name == "MountainCarContinuous-v0") {
+    EnvSpec sp = MountainCarContinuous::spec();
+    sp.act_low = -1.0f;
+    sp.act_high = 1.0f;
+    return sp;
+  }
+  if (name == "Hopper2D-v0") {
+    EnvSpec sp = Hopper2D::spec();
+    sp.act_low = -1.0f;
+    sp.act_high = 1.0f;
+    return sp;
+  }
+  EnvSpec sp = Pendulum::spec();
+  sp.act_low = -2.0f;
+  sp.act_high = 2.0f;
+  return sp;
 }
 
 }  // namespace
@@ -255,6 +441,12 @@ int cpuenv_num_actions(void* vh) {
 }
 int cpuenv_max_steps(void* vh) {
   return static_cast<VecEnv*>(vh)->spec.max_steps;
+}
+float cpuenv_act_low(void* vh) {
+  return static_cast<VecEnv*>(vh)->spec.act_low;
+}
+float cpuenv_act_high(void* vh) {
+  return static_cast<VecEnv*>(vh)->spec.act_high;
 }
 
 void cpuenv_reset(void* vh, float* obs_out) {

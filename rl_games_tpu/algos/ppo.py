@@ -268,6 +268,11 @@ class PPOAgent:
             obs_shape=self.obs_shape,
         )
 
+        # self-play device envs apply the learner's own architecture on
+        # the opponent seat (envs/jax/selfplay.py)
+        if hasattr(self.vec_env, "bind_policy"):
+            self.vec_env.bind_policy(self.model)
+
         # --- central value (asymmetric actor-critic, central_value.py) -----
         self.central_value_config = config.get("central_value_config", None)
         self.has_central_value = self.central_value_config is not None
@@ -313,11 +318,6 @@ class PPOAgent:
         # with a central value net the actor model's own value head carries no
         # loss (a2c_continuous.py:75)
         self.has_value_loss = not self.has_central_value
-        if self.has_central_value and self.is_host_env:
-            raise NotImplementedError(
-                "central value over host envs is not wired yet — use the "
-                "device (JAX) env path for asymmetric actor-critic"
-            )
         if config.get("use_action_masks", False) and self.is_host_env:
             raise NotImplementedError(
                 "action masks over host envs are not wired yet — use the "
@@ -410,6 +410,11 @@ class PPOAgent:
                 cv_key, obs["states"], rnn_states=cv_rnn_states
             )
             cv_opt = self.cv_tx.init(cv_params)
+        if hasattr(self.vec_env, "init_opponent") and env_state is not None:
+            # install the initial opponent weights (selfplay.py)
+            env_state = self.vec_env.init_opponent(
+                env_state, {"params": params, "norm": norm}
+            )
         n = self.num_actors * self.num_agents
         v = self.value_size
         adv_rms = moving_init(()) if self.normalize_rms_advantage else None
@@ -1125,16 +1130,27 @@ class PPOAgent:
     # ------------------------------------------------------------------
     def _make_host_fns(self):
         def policy_step(params, norm, cv_params, cv_norm, key, obs, dones,
-                        rnn_states):
+                        rnn_states, cv_rnn_states):
             res = self.model.forward_play(
-                params, norm, key, obs,
+                params, norm, key, self._actor_obs(obs),
                 rnn_states=rnn_states,
                 dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
                 seq_length=1,
             )
+            res = dict(res)
             if self.has_central_value:
-                res = dict(res)
-                # host path currently supports symmetric obs only
+                # asymmetric host envs emit {'obs','states'}; values come
+                # from the central net (a2c_common.py:460-470)
+                cv_res = self.cv_model.forward_play(
+                    cv_params, cv_norm, key, obs["states"],
+                    rnn_states=cv_rnn_states,
+                    dones=dones
+                    if (self.cv_is_rnn and self.zero_rnn_on_done)
+                    else None,
+                    seq_length=1,
+                )
+                res["values"] = cv_res["values"]
+                res["cv_rnn_states"] = cv_res["rnn_states"]
             res["env_actions"] = self._env_actions(res["actions"])
             return res
 
@@ -1149,21 +1165,34 @@ class PPOAgent:
             self._host_fns = self._make_host_fns()
         policy_step, finish = self._host_fns
 
+        def to_device_obs(o):
+            # dict obs pass through whole; uint8 image obs cast to f32
+            # (the reference's obs casting, a2c_common.py:540-575)
+            return jax.tree.map(
+                lambda x: jnp.asarray(x).astype(jnp.float32)
+                if np.asarray(x).dtype == np.uint8
+                else jnp.asarray(x),
+                o,
+            )
+
         obs = state.obs
         dones = jnp.asarray(state.dones)
         rnn_states = state.rnn_states
+        cv_rnn_states = state.cv_rnn_states
         rng = state.rng
         traj_steps = []
         snapshots = []
+        cv_snapshots = []
         step_time = 0.0  # pure env-step time (a2c_common.py:806-810)
         t_play0 = time.perf_counter()
         for t in range(self.horizon_length):
-            if self.is_rnn and t % self.seq_length == 0:
+            if self.any_rnn and t % self.seq_length == 0:
                 snapshots.append(rnn_states)
+                cv_snapshots.append(cv_rnn_states)
             rng, akey = jax.random.split(rng)
             res = policy_step(
                 state.params, state.norm, state.cv_params, state.cv_norm,
-                akey, obs, dones, rnn_states,
+                akey, obs, dones, rnn_states, cv_rnn_states,
             )
             actions_np = np.asarray(res["env_actions"])
             t0 = time.perf_counter()
@@ -1190,29 +1219,36 @@ class PPOAgent:
             if self.is_continuous:
                 step_out["mus"] = res["mus"]
                 step_out["sigmas"] = res["sigmas"]
+            if self.has_central_value:
+                step_out["states"] = obs["states"]
             traj_steps.append(step_out)
-            obs = jnp.asarray(next_obs)
+            obs = to_device_obs(next_obs)
             dones = jnp.asarray(new_dones, jnp.float32)
             if self.is_rnn:
                 rnn_states = res["rnn_states"]
+            if self.cv_is_rnn:
+                cv_rnn_states = res["cv_rnn_states"]
 
         rng, vkey = jax.random.split(rng)
         last = policy_step(
             state.params, state.norm, state.cv_params, state.cv_norm,
-            vkey, obs, dones, rnn_states,
+            vkey, obs, dones, rnn_states, cv_rnn_states,
         )
         last_values = last["values"]
 
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *traj_steps)
         rnn_snapshots = None
-        if self.is_rnn:
-            # (actor, cv) pair — host path has no central value (guarded)
+        if self.any_rnn:
             rnn_snapshots = (
-                jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots), None
+                jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots)
+                if self.is_rnn else None,
+                jax.tree.map(lambda *xs: jnp.stack(xs), *cv_snapshots)
+                if self.cv_is_rnn else None,
             )
 
         state = state.replace(
-            obs=obs, dones=dones, rng=rng, rnn_states=rnn_states
+            obs=obs, dones=dones, rng=rng, rnn_states=rnn_states,
+            cv_rnn_states=cv_rnn_states,
         )
         play_time = time.perf_counter() - t_play0
         out = finish(state, traj, last_values, rnn_snapshots)
@@ -1652,7 +1688,8 @@ class PPOAgent:
                 observer.after_epoch(metrics)
                 observer.after_print_stats(frame, epoch_num, total_time)
             if self_play_manager is not None:
-                if self_play_manager.update(self, state, metrics):
+                pushed, state = self_play_manager.update(self, state, metrics)
+                if pushed:
                     # re-arm the threshold on fresh games
                     # (self_play_manager.py: algo.clear_stats())
                     state = self.clear_stats(state)

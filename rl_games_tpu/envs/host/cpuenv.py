@@ -52,6 +52,9 @@ def load_library():
                "cpuenv_num_actions", "cpuenv_max_steps"):
         getattr(lib, fn).restype = ctypes.c_int
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("cpuenv_act_low", "cpuenv_act_high"):
+        getattr(lib, fn).restype = ctypes.c_float
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.cpuenv_reset.argtypes = [ctypes.c_void_p, f32p]
@@ -95,7 +98,11 @@ class CpuVecEnv:
         if self.discrete:
             action_space = Discrete(n=self.num_actions)
         else:
-            action_space = Box(shape=(self.act_dim,), low=-2.0, high=2.0)
+            action_space = Box(
+                shape=(self.act_dim,),
+                low=float(self._lib.cpuenv_act_low(self._h)),
+                high=float(self._lib.cpuenv_act_high(self._h)),
+            )
         return EnvInfo(
             observation_space=Box(shape=(self.obs_dim,)),
             action_space=action_space,

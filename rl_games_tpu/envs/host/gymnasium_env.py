@@ -94,11 +94,9 @@ class GymnasiumVecEnv:
         high = getattr(self.env.single_action_space, "high", None)
         self._action_low = None if low is None else np.asarray(low, np.float32)
         self._action_high = None if high is None else np.asarray(high, np.float32)
-        self.max_episode_steps = getattr(
-            self.env.envs[0] if not use_async else None, "spec", None
-        )
+        # episode limit from the registry spec (robust for Sync and Async)
         try:
-            self.max_episode_steps = self.env.spec.max_episode_steps
+            self.max_episode_steps = gym.spec(env_id).max_episode_steps
         except Exception:
             self.max_episode_steps = None
 
@@ -108,9 +106,18 @@ class GymnasiumVecEnv:
             action_space=convert_space(self.env.single_action_space),
         )
 
+    @staticmethod
+    def _cast(obs):
+        """Dict obs pass through per-key; uint8 image obs stay uint8 (the
+        trainer casts on device, a2c_common.py:540-575), the rest float32."""
+        if isinstance(obs, dict):
+            return {k: GymnasiumVecEnv._cast(v) for k, v in obs.items()}
+        a = np.asarray(obs)
+        return a if a.dtype == np.uint8 else a.astype(np.float32)
+
     def reset(self):
         obs, _ = self.env.reset(seed=self.seed)
-        return np.asarray(obs, np.float32)
+        return self._cast(obs)
 
     def step(self, actions):
         actions = np.asarray(actions)
@@ -134,16 +141,24 @@ class GymnasiumVecEnv:
             if key in infos:
                 final = infos[key]
                 break
-        if final is not None:
-            final_obs = np.asarray(obs, np.float32).copy()
+        obs = self._cast(obs)
+        if final is not None and not isinstance(obs, dict):
+            final_obs = np.array(obs, copy=True)
             for i, f in enumerate(final):
                 if f is not None:
                     final_obs[i] = f
             out_infos["final_observation"] = final_obs
+        elif final is not None and isinstance(obs, dict):
+            final_obs = {k: np.array(v, copy=True) for k, v in obs.items()}
+            for i, f in enumerate(final):
+                if f is not None:
+                    for k in final_obs:
+                        final_obs[k][i] = f[k]
+            out_infos["final_observation"] = final_obs
         elif dones.any():
-            out_infos["final_observation"] = np.asarray(obs, np.float32)
+            out_infos["final_observation"] = obs
         return (
-            np.asarray(obs, np.float32),
+            obs,
             np.asarray(rewards, np.float32),
             dones,
             out_infos,

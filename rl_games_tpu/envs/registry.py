@@ -179,6 +179,20 @@ def _create_atari_vecenv(cfg, num_actors, **kwargs):
 register_vecenv_type("ATARI", _create_atari_vecenv)
 
 
+def _create_selfplay_vecenv(cfg, num_actors, **kwargs):
+    """Self-play device env (embedded opponent weights; the
+    RayWorker.set_weights analog)."""
+    from rl_games_tpu.envs.jax.selfplay import (
+        CompetitiveForage, SelfPlayJaxVecEnv,
+    )
+
+    return SelfPlayJaxVecEnv(CompetitiveForage(), num_actors)
+
+
+register("competitive_forage", {"vecenv_type": "JAX_SELFPLAY"})
+register_vecenv_type("JAX_SELFPLAY", _create_selfplay_vecenv)
+
+
 def register_test_envs():
     from rl_games_tpu.envs.jax import test_envs
 

@@ -20,19 +20,22 @@ class SelfPlayManager:
         self.env_indexes = np.arange(self.env_update_num)
         self.updates_num = 0
 
-    def update(self, algo, state, metrics) -> bool:
-        """Returns True when weights were pushed (stats should be cleared)."""
+    def update(self, algo, state, metrics):
+        """Returns (pushed, state): True when weights were pushed (stats
+        should be cleared); device self-play envs carry the opponent
+        weights in the train state's env_state, so the push returns an
+        updated state."""
         self.updates_num += 1
         key = "mean_scores" if self.check_scores else "mean_rewards"
         games = int(metrics.get("games_played", 0))
         if games < self.games_to_check:
-            return False
+            return False, state
         value = metrics.get(key)
         if value is None:
-            return False
+            return False, state
         mean_score = float(np.asarray(value).reshape(-1)[0])
         if mean_score <= self.update_score:
-            return False
+            return False, state
         print(
             f"self-play: mean {key} {mean_score:.3f} > {self.update_score} "
             "— updating opponent weights"
@@ -43,7 +46,19 @@ class SelfPlayManager:
                 self.updates_num,
                 int(metrics["frame"]),
             )
-        algo.vec_env.set_weights(self.env_indexes, algo.get_weights(state))
+        weights = algo.get_weights(state)
+        env_state = getattr(state, "env_state", None)
+        try:
+            new_es = algo.vec_env.set_weights(
+                self.env_indexes, weights, env_state=env_state
+            )
+        except TypeError:
+            # host-env protocol: the env owns the opponent (RayWorker
+            # set_weights, common/vecenv.py:141-152)
+            algo.vec_env.set_weights(self.env_indexes, weights)
+            new_es = None
+        if new_es is not None:
+            state = state.replace(env_state=new_es)
         self.env_indexes = (self.env_indexes + 1) % algo.num_actors
         self.updates_num = 0
-        return True
+        return True, state

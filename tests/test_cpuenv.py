@@ -108,3 +108,64 @@ def test_ppo_trains_on_native_env():
     for _ in range(60):
         state, m = fn(state)
     assert float(m["mean_rewards"][0]) > 60.0  # random ~20
+
+
+def test_acrobot_matches_gymnasium_dynamics():
+    """Native Acrobot-v1 vs gymnasium, same start state, same actions."""
+    gymnasium = pytest.importorskip("gymnasium")
+    from rl_games_tpu.envs.host.cpuenv import CpuVecEnv
+
+    env = CpuVecEnv("Acrobot-v1", 1, seed=3)
+    obs = env.reset()
+    g = gymnasium.make("Acrobot-v1").unwrapped
+    g.reset(seed=0)
+    # write the native env's start state into gymnasium
+    th1 = np.arctan2(obs[0, 1], obs[0, 0])
+    th2 = np.arctan2(obs[0, 3], obs[0, 2])
+    g.state = np.array([th1, th2, obs[0, 4], obs[0, 5]], np.float64)
+    for t in range(40):
+        a = t % 3
+        obs, rew, dones, infos = env.step(np.asarray([[a]], np.float32))
+        gobs, grew, gterm, gtrunc, _ = g.step(a)
+        np.testing.assert_allclose(obs[0], gobs, rtol=2e-3, atol=2e-3)
+        assert rew[0] == grew
+        if dones[0] or gterm:
+            assert bool(dones[0]) == bool(gterm)
+            break
+
+
+def test_mountaincar_continuous_matches_gymnasium():
+    gymnasium = pytest.importorskip("gymnasium")
+    from rl_games_tpu.envs.host.cpuenv import CpuVecEnv
+
+    env = CpuVecEnv("MountainCarContinuous-v0", 1, seed=3)
+    obs = env.reset()
+    info = env.get_env_info()
+    assert info.action_space.low == -1.0 and info.action_space.high == 1.0
+    g = gymnasium.make("MountainCarContinuous-v0").unwrapped
+    g.reset(seed=0)
+    g.state = np.array(obs[0], np.float64)
+    for t in range(60):
+        a = np.sin(0.3 * t)
+        obs, rew, dones, infos = env.step(np.asarray([[a]], np.float32))
+        gobs, grew, gterm, *_ = g.step(np.asarray([a], np.float32))
+        np.testing.assert_allclose(obs[0], gobs, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(rew[0], grew, rtol=1e-4, atol=1e-5)
+
+
+def test_hopper2d_steps_and_terminates():
+    from rl_games_tpu.envs.host.cpuenv import CpuVecEnv
+
+    env = CpuVecEnv("Hopper2D-v0", 4, seed=0)
+    obs = env.reset()
+    assert obs.shape == (4, 5)
+    saw_done = False
+    for _ in range(400):
+        # zero thrust → the hopper collapses and crashes
+        obs, rew, dones, infos = env.step(
+            np.tile(np.asarray([[-1.0, 0.0]], np.float32), (4, 1))
+        )
+        if dones.any():
+            saw_done = True
+            break
+    assert saw_done

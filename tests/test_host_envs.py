@@ -307,3 +307,104 @@ def test_sac_host_path_runs():
     # (one dispatch per env step), so the newest transition is still
     # pending: 16 steps taken -> 15 ingested x 4 actors
     assert int(replay_size(state.replay)) == (4 * 4 - 1) * 4
+
+
+class _FakeAsymHostEnv:
+    """Host env with {'obs','states'} asymmetric observations."""
+
+    is_host_env = True
+    autoreset_mode = "same_step"
+    max_episode_steps = 20
+
+    def __init__(self, n):
+        self.n = n
+        self.t = np.zeros(n, np.int64)
+
+    def get_env_info(self):
+        from rl_games_tpu.envs.spaces import Box, EnvInfo
+
+        return EnvInfo(
+            observation_space=Box(shape=(3,)),
+            action_space=Box(shape=(1,), low=-1.0, high=1.0),
+            state_space=Box(shape=(5,)),
+        )
+
+    def _make(self):
+        obs = np.stack(
+            [np.arange(self.n), self.t, np.sin(self.t)], -1
+        ).astype(np.float32)
+        states = np.concatenate(
+            [obs, np.cos(self.t)[:, None], (self.t % 5)[:, None]], -1
+        ).astype(np.float32)
+        return {"obs": obs, "states": states}
+
+    def reset(self):
+        return self._make()
+
+    def step(self, actions):
+        self.t += 1
+        done = self.t >= 8
+        rewards = np.sin(0.3 * self.t).astype(np.float32)
+        final = self._make()
+        self.t[done] = 0
+        infos = {
+            "time_outs": np.zeros(self.n, bool),
+            "final_observation": final,
+        }
+        return self._make(), rewards, done, infos
+
+
+def test_ppo_host_central_value_trains():
+    """Asymmetric actor-critic over a host env: {'obs','states'} flow
+    through the host rollout into the central-value update (the guard
+    from round 1 is gone)."""
+    vec_env = _FakeAsymHostEnv(4)
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+        },
+        "config": {
+            "env_name": "fake", "num_actors": 4, "horizon_length": 16,
+            "minibatch_size": 32, "mini_epochs": 1, "learning_rate": 1e-3,
+            "e_clip": 0.2, "clip_value": False, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 1.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False,
+            "normalize_value": False, "value_bootstrap": False, "seed": 3,
+            "central_value_config": {
+                "learning_rate": 1e-3, "mini_epochs": 1,
+                "minibatch_size": 32, "clip_value": False,
+                "normalize_input": False,
+                "network": {
+                    "name": "actor_critic", "central_value": True,
+                    "mlp": {"units": [16], "activation": "elu",
+                            "initializer": {"name": "default"}},
+                },
+            },
+        },
+    }
+    import jax
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    agent = PPOAgent("t", params, vec_env=vec_env)
+    assert agent.has_central_value and agent.is_host_env
+    state = agent.init_state()
+    cv_before = jax.device_get(state.cv_params)
+    fn = agent.make_train_fn()
+    for _ in range(3):
+        state, m = fn(state)
+    assert "cval_loss" in m and np.isfinite(float(m["cval_loss"]))
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        cv_before, jax.device_get(state.cv_params),
+    )
+    assert max(jax.tree.leaves(diffs)) > 0

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 
 from rl_games_tpu.utils import pbt
 from rl_games_tpu.utils.observers import DefaultAlgoObserver, MultiObserver
@@ -131,20 +132,22 @@ def test_self_play_manager_triggers_and_rotates():
     )
     algo = FakeSPAlgo()
     # not enough games yet
-    assert not mgr.update(algo, None, {"games_played": 5, "mean_rewards": [0.9]})
+    assert not mgr.update(
+        algo, None, {"games_played": 5, "mean_rewards": [0.9]}
+    )[0]
     # low score
     assert not mgr.update(
         algo, None, {"games_played": 20, "mean_rewards": [0.2], "frame": 0}
-    )
+    )[0]
     # triggers
     assert mgr.update(
         algo, None, {"games_played": 20, "mean_rewards": [0.9], "frame": 0}
-    )
+    )[0]
     idx0 = algo.vec_env.set_weights_calls[0][0]
     np.testing.assert_array_equal(idx0, [0, 1])
     assert mgr.update(
         algo, None, {"games_played": 20, "mean_rewards": [0.9], "frame": 0}
-    )
+    )[0]
     idx1 = algo.vec_env.set_weights_calls[1][0]
     np.testing.assert_array_equal(idx1, [1, 2])  # rotated
 
@@ -180,3 +183,114 @@ def test_experiment_grid():
     assert lrs == {1e-4, 3e-4}
     # base untouched
     assert base["params"]["config"]["gamma"] == 0.99
+
+
+def test_self_play_device_env_end_to_end(tmp_path):
+    """The full self-play loop on a device env with an EMBEDDED opponent
+    (envs/jax/selfplay.py — the RayWorker.set_weights analog): train vs the
+    initial random opponent, push the learner's weights into every
+    opponent slot, and verify the opponent's behavior actually changed
+    (the pushed policy forages, so the learner's zero-sum edge shrinks)."""
+    import jax.numpy as jnp
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [32, 32], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+        },
+        "config": {
+            "env_name": "competitive_forage", "num_actors": 32,
+            "horizon_length": 32, "minibatch_size": 256, "mini_epochs": 2,
+            "learning_rate": 5e-4, "lr_schedule": "adaptive",
+            "kl_threshold": 0.008, "e_clip": 0.2, "clip_value": True,
+            "gamma": 0.99, "tau": 0.95, "critic_coef": 1.0,
+            "entropy_coef": 0.005, "grad_norm": 1.0, "truncate_grads": True,
+            "normalize_advantage": True, "normalize_input": True,
+            "normalize_value": True, "value_bootstrap": True, "seed": 7,
+        },
+    }
+    agent = PPOAgent("t", params)
+    state = agent.init_state()
+    assert state.env_state.opp_weights is not None
+    fn = agent.make_train_fn(donate=False)
+    m = None
+    for _ in range(60):
+        state, m = fn(state)
+    pre_push_reward = float(m["mean_rewards"][0])
+    # vs an untrained opponent the learner wins the zero-sum race
+    assert pre_push_reward > 0.3
+
+    # push current weights into ALL opponent slots
+    new_es = agent.vec_env.set_weights(
+        jnp.arange(32), agent.get_weights(state), env_state=state.env_state
+    )
+    state = agent.clear_stats(state.replace(env_state=new_es))
+    for _ in range(25):
+        state, m = fn(state)
+    post_push_reward = float(m["mean_rewards"][0])
+    # the opponent now forages too: the zero-sum edge shrinks measurably
+    assert post_push_reward < pre_push_reward - 0.2, (
+        pre_push_reward, post_push_reward
+    )
+
+
+def test_self_play_manager_pushes_into_device_env():
+    """SelfPlayManager end-to-end against the device self-play env:
+    threshold crossing pushes weights into the rotating subset and
+    returns the updated state."""
+    import jax.numpy as jnp
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    cfg_params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+        },
+        "config": {
+            "env_name": "competitive_forage", "num_actors": 8,
+            "horizon_length": 16, "minibatch_size": 64, "mini_epochs": 1,
+            "learning_rate": 5e-4, "e_clip": 0.2, "clip_value": False,
+            "gamma": 0.99, "tau": 0.95, "critic_coef": 1.0,
+            "entropy_coef": 0.005, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False,
+            "seed": 7,
+        },
+    }
+    agent = PPOAgent("t", cfg_params)
+    state = agent.init_state()
+    mgr = SelfPlayManager(
+        {"update_score": -100.0, "games_to_check": 1, "env_update_num": 2}
+    )
+    fn = agent.make_train_fn(donate=False)
+    for _ in range(5):
+        state, m = fn(state)
+    before = np.asarray(
+        jax.tree.leaves(state.env_state.opp_weights["params"])[0]
+    )
+    pushed, state = mgr.update(agent, state, m)
+    assert pushed
+    after = np.asarray(
+        jax.tree.leaves(state.env_state.opp_weights["params"])[0]
+    )
+    # rows 0,1 changed, the rest didn't
+    assert not np.allclose(before[0], after[0])
+    np.testing.assert_array_equal(before[3], after[3])
