@@ -302,10 +302,46 @@ class CNN(nn.Module):
         return x
 
 
-class ImpalaResidualBlock(nn.Module):
-    """network_builder.py:643-672 (attention variant omitted in configs)."""
+class ChannelAttention(nn.Module):
+    """Squeeze-and-excitation channel attention (network_builder.py:614-629):
+    sigmoid(MLP(avgpool) + MLP(maxpool)) channel gate. NHWC layout."""
 
     channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = max(1, self.channels // self.reduction)
+        fc1 = nn.Dense(hidden, use_bias=False, name="fc1")
+        fc2 = nn.Dense(self.channels, use_bias=False, name="fc2")
+        avg = fc2(jax.nn.relu(fc1(x.mean(axis=(1, 2)))))
+        mx = fc2(jax.nn.relu(fc1(x.max(axis=(1, 2)))))
+        return jax.nn.sigmoid(avg + mx)[:, None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """Spatial attention (network_builder.py:632-640): sigmoid(conv7x7 over
+    [channel-mean, channel-max]) spatial gate."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        avg = x.mean(axis=-1, keepdims=True)
+        mx = x.max(axis=-1, keepdims=True)
+        g = nn.Conv(
+            1, (self.kernel_size, self.kernel_size), padding="SAME",
+            use_bias=False,
+        )(jnp.concatenate([avg, mx], axis=-1))
+        return jax.nn.sigmoid(g)
+
+
+class ImpalaResidualBlock(nn.Module):
+    """network_builder.py:643-672; optional SE-style channel + spatial
+    attention gates (use_attention)."""
+
+    channels: int
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -314,6 +350,9 @@ class ImpalaResidualBlock(nn.Module):
         x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        if self.use_attention:
+            x = ChannelAttention(self.channels)(x) * x
+            x = SpatialAttention()(x) * x
         return x + residual
 
 
@@ -321,13 +360,14 @@ class ImpalaSequential(nn.Module):
     """conv → maxpool(3,2) → 2 residual blocks (network_builder.py:675-688)."""
 
     channels: int
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = ImpalaResidualBlock(self.channels)(x)
-        x = ImpalaResidualBlock(self.channels)(x)
+        x = ImpalaResidualBlock(self.channels, self.use_attention)(x)
+        x = ImpalaResidualBlock(self.channels, self.use_attention)(x)
         return x
 
 
@@ -335,13 +375,55 @@ class ImpalaCNN(nn.Module):
     """Impala tower from a `conv_depths` config (network_builder.py:714-727)."""
 
     conv_depths: Sequence[int]
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         for depth in self.conv_depths:
-            x = ImpalaSequential(depth)(x)
+            x = ImpalaSequential(depth, self.use_attention)(x)
         x = jax.nn.relu(x)
         return x.reshape(x.shape[0], -1)
+
+
+class NoisyLinear(nn.Module):
+    """NoisyNet factorized-gaussian linear layer (algos_torch/layers.py:
+    9-55): w = mu_w + sigma_w * (f(eps_in) f(eps_out)^T), exploration noise
+    resampled via an explicit key (pass None for the deterministic
+    mean-weight forward)."""
+
+    features: int
+    sigma_init: float = 0.017
+
+    @nn.compact
+    def __call__(self, x, noise_key=None):
+        in_f = x.shape[-1]
+        mu_w = self.param(
+            "mu_w",
+            nn.initializers.uniform(scale=1.0 / jnp.sqrt(in_f)),
+            (in_f, self.features),
+        )
+        mu_b = self.param(
+            "mu_b",
+            nn.initializers.uniform(scale=1.0 / jnp.sqrt(in_f)),
+            (self.features,),
+        )
+        sig_w = self.param(
+            "sigma_w", nn.initializers.constant(self.sigma_init),
+            (in_f, self.features),
+        )
+        sig_b = self.param(
+            "sigma_b", nn.initializers.constant(self.sigma_init),
+            (self.features,),
+        )
+        if noise_key is None:
+            return x @ mu_w + mu_b
+        k1, k2 = jax.random.split(noise_key)
+        f = lambda e: jnp.sign(e) * jnp.sqrt(jnp.abs(e))
+        eps_in = f(jax.random.normal(k1, (in_f,)))
+        eps_out = f(jax.random.normal(k2, (self.features,)))
+        w = mu_w + sig_w * jnp.outer(eps_in, eps_out)
+        b = mu_b + sig_b * eps_out
+        return x @ w + b
 
 
 # ---------------------------------------------------------------------------

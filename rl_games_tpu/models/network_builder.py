@@ -105,6 +105,25 @@ class A2CNetwork(nn.Module):
         cfg = self.cfg
         space_type, space_cfg = self._space(cfg)
         separate = bool(cfg.get("separate", False))
+        # resnet-builder extras: reward / last-action fed into the RNN
+        # input (A2CResnetBuilder, network_builder.py:729-732, 786-820)
+        extra_rnn_in = None
+        if isinstance(obs, dict) and "observation" in obs:
+            parts = []
+            if cfg.get("require_rewards", False):
+                parts.append(
+                    jnp.reshape(obs["reward"], (-1, 1)).astype(jnp.float32)
+                )
+            if cfg.get("require_last_actions", False):
+                la = obs["last_action"]
+                if self.actions_num is not None and jnp.issubdtype(
+                    jnp.asarray(la).dtype, jnp.integer
+                ):
+                    la = jax.nn.one_hot(la, self.actions_num)
+                parts.append(jnp.reshape(la, (la.shape[0], -1)))
+            if parts:
+                extra_rnn_in = jnp.concatenate(parts, axis=-1)
+            obs = obs["observation"]
         mlp_cfg = cfg["mlp"]
         units = list(mlp_cfg["units"])
         normalization = cfg.get("normalization", None)
@@ -115,7 +134,11 @@ class A2CNetwork(nn.Module):
         def build_cnn(name):
             cnn = cfg["cnn"]
             if cnn.get("type") == "impala":
-                return L.ImpalaCNN(tuple(cnn["conv_depths"]), name=name)
+                return L.ImpalaCNN(
+                    tuple(cnn["conv_depths"]),
+                    use_attention=cnn.get("use_attention", False),
+                    name=name,
+                )
             return L.CNN(
                 convs=tuple(_freeze(c) for c in cnn["convs"]),
                 activation=cnn["activation"],
@@ -144,6 +167,8 @@ class A2CNetwork(nn.Module):
 
         def apply_rnn(x_in, cnn_out, states, core_name):
             """x_in: [B, F] flat features; returns ([B, F'], new_states)."""
+            if extra_rnn_in is not None:
+                x_in = jnp.concatenate([x_in, extra_rnn_in], axis=-1)
             batch = x_in.shape[0]
             num_seqs = batch // seq_length
             core = L.RNNCore(

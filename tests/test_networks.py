@@ -261,3 +261,56 @@ def test_tanh_model_train_play_consistency():
     np.testing.assert_allclose(
         np.asarray(det["actions"]), np.tanh(np.asarray(det["mus"])), rtol=1e-5
     )
+
+
+def test_impala_attention_and_extras():
+    """SE-attention impala blocks + reward/last-action RNN inputs
+    (A2CResnetBuilder, network_builder.py:643-672, 729-820)."""
+    import jax
+    import jax.numpy as jnp
+    from rl_games_tpu.models.network_builder import A2CNetwork
+
+    net = A2CNetwork.create(
+        {
+            "name": "resnet_actor_critic", "separate": False,
+            "cnn": {"type": "impala", "conv_depths": [8, 16],
+                    "use_attention": True},
+            "mlp": {"units": [32], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "gru", "units": 32, "layers": 1},
+            "require_rewards": True,
+            "require_last_actions": True,
+            "space": {"discrete": {}},
+        },
+        actions_num=4,
+        input_shape=(16, 16, 3),
+        value_size=1,
+    )
+    obs = {
+        "observation": jnp.zeros((2, 16, 16, 3)),
+        "reward": jnp.zeros((2,)),
+        "last_action": jnp.zeros((2,), jnp.int32),
+    }
+    states = net.get_default_rnn_state(2)
+    params = net.init(jax.random.PRNGKey(0), obs, rnn_states=states)
+    out = net.apply(params, obs, rnn_states=states, seq_length=1)
+    assert out["logits"].shape == (2, 4)
+    # attention params exist
+    names = str(jax.tree_util.tree_structure(params))
+    assert "ChannelAttention_0" in names or "fc1" in names
+
+
+def test_noisy_linear():
+    import jax
+    import jax.numpy as jnp
+    from rl_games_tpu.models.layers import NoisyLinear
+
+    layer = NoisyLinear(8)
+    x = jnp.ones((3, 4))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    det = layer.apply(params, x)
+    n1 = layer.apply(params, x, noise_key=jax.random.PRNGKey(1))
+    n2 = layer.apply(params, x, noise_key=jax.random.PRNGKey(2))
+    assert det.shape == (3, 8)
+    assert not np.allclose(np.asarray(n1), np.asarray(n2))
+    assert not np.allclose(np.asarray(det), np.asarray(n1))

