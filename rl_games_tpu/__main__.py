@@ -35,8 +35,9 @@ def main():
         config["params"]["config"]["num_actors"] = args["num_actors"]
     if args["seed"] > 0:
         config["params"]["seed"] = args["seed"]
-        config["params"]["config"]["env_config"] = config["params"]["config"].get(
-            "env_config", {}
+        # seed fans out to the env too (torch_runner.py:196-208)
+        config["params"]["config"].setdefault("env_config", {})["seed"] = (
+            args["seed"]
         )
 
     from rl_games_tpu.runner import Runner

@@ -57,6 +57,7 @@ def get_env_info(env) -> dict:
 
 
 def _create_jax_vecenv(cfg, num_actors, **kwargs):
+    kwargs.pop("seed", None)  # device envs seed via the agent's PRNG key
     env = cfg["env_creator"](**{**cfg.get("env_config", {}), **kwargs})
     return JaxVecEnv(
         env, num_actors, max_episode_steps=cfg.get("max_episode_steps")
@@ -106,6 +107,7 @@ register("Ant2D", {"vecenv_type": "JAX", "env_creator": _create_ant2d})
 def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
     from rl_games_tpu.envs.jax.multiagent import MultiAgentJaxVecEnv
 
+    kwargs.pop("seed", None)
     env = cfg["env_creator"](**{**cfg.get("env_config", {}), **kwargs})
     return MultiAgentJaxVecEnv(
         env, num_actors, max_episode_steps=cfg.get("max_episode_steps")

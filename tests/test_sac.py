@@ -216,3 +216,32 @@ def test_sac_multichip_matches_single_chip():
         np.asarray(jax.device_get(sN.log_alpha)),
         np.asarray(jax.device_get(s1.log_alpha)), rtol=1e-4,
     )
+
+
+def test_sac_benchmark_harness_probe_and_report(tmp_path):
+    """The benchmark harness's probe and report paths (the reference
+    unit-tests its own harness, tests/test_sac_correctness.py:769-807)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "sac_benchmark",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                     "sac_benchmark.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.score_points([]) is None
+    pts = [(i, float(i)) for i in range(20)]
+    assert bench.score_points(pts) == np.mean(range(10, 20))
+
+    rec = bench.run_one("pendulum", seed=3, probe=True,
+                        train_dir=str(tmp_path))
+    assert rec["env"] == "pendulum" and rec["score"] is not None
+    out = tmp_path / "res.jsonl"
+    with open(out, "w") as f:
+        f.write(_json.dumps(rec) + "\n")
+        f.write(_json.dumps({**rec, "seed": 4, "score": rec["score"] + 1}) + "\n")
+    by_env = bench.report(str(out))
+    assert len(by_env["pendulum"]) == 2
