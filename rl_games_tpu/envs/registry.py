@@ -104,6 +104,15 @@ def _create_ant2d():
 register("Ant2D", {"vecenv_type": "JAX", "env_creator": _create_ant2d})
 
 
+def _create_cheetah2d():
+    from rl_games_tpu.envs.jax.locomotion2d import Cheetah2D
+
+    return Cheetah2D()
+
+
+register("Cheetah2D", {"vecenv_type": "JAX", "env_creator": _create_cheetah2d})
+
+
 def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
     from rl_games_tpu.envs.jax.multiagent import MultiAgentJaxVecEnv
 

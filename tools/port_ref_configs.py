@@ -63,6 +63,7 @@ PORTS = {
     ],
     "brax": [
         ("ppo_ant.yaml", "ant2d"), ("sac_ant.yaml", "ant2d"),
+        ("ppo_halfcheetah.yaml", "cheetah2d"),
     ],
     "": [
         ("ppo_cartpole.yaml", "gym"),
@@ -158,6 +159,10 @@ def port_one(src, kind):
         cfg["vecenv_type"] = "ATARI"
     elif kind == "ant2d":
         cfg["env_name"] = "Ant2D"
+        cfg.pop("vecenv_type", None)
+        env_cfg = {}
+    elif kind == "cheetah2d":
+        cfg["env_name"] = "Cheetah2D"
         cfg.pop("vecenv_type", None)
         env_cfg = {}
     elif kind == "masked_velocity":
