@@ -99,6 +99,20 @@ class Runner:
             self.seed = int(np.random.randint(0, 2**16))
         if self.seed == -1:
             self.seed = int(np.random.randint(0, 1000000))
+        # per-rank seed offset on multi-host meshes (torch_runner.py:186,
+        # 207-208): each host trains distinct env shards
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                self.seed += jax.process_index()
+                env_cfg = params["config"].get("env_config")
+                if env_cfg and "seed" in env_cfg:
+                    env_cfg["seed"] = (
+                        int(env_cfg["seed"]) + jax.process_index()
+                    )
+        except Exception:
+            pass
         random.seed(self.seed)
         np.random.seed(self.seed)
         params["config"]["seed"] = self.seed
