@@ -214,6 +214,7 @@ class PPOAgent:
             self.soft_aug = build_transform(soft_aug_cfg.get("transform", {}))
             self.soft_aug_coef = float(soft_aug_cfg.get("aug_coef", 0.001))
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
+        self._observer = (config.get("features") or {}).get("observer")
         self._rollout_time = None  # calibrated under use_diagnostics
         self._last_timing = None  # host-path real split
         self._program_stale = False  # set_param touched a baked-in constant
@@ -468,7 +469,8 @@ class PPOAgent:
         a = jnp.clip(actions, -1.0, 1.0) if self.clip_actions else actions
         low = jnp.asarray(space.low, jnp.float32)
         high = jnp.asarray(space.high, jnp.float32)
-        if np.all(np.isfinite([space.low, space.high])):
+        # low/high may independently be scalars or per-dim arrays
+        if np.isfinite(space.low).all() and np.isfinite(space.high).all():
             return rescale_actions(low, high, a)
         return a
 
@@ -1198,6 +1200,13 @@ class PPOAgent:
             t0 = time.perf_counter()
             next_obs, rewards, new_dones, infos = self.vec_env.step(actions_np)
             step_time += time.perf_counter() - t0
+            if self._observer is not None:
+                # per-step observer hooks fire where infos are host-visible
+                # (algo_observer.py:6-26; a2c_common play_steps)
+                self._observer.process_infos(
+                    infos, np.nonzero(np.asarray(new_dones))[0]
+                )
+                self._observer.after_steps()
             rewards = np.asarray(rewards, np.float32)
             if rewards.ndim == 1:
                 rewards = rewards[:, None]

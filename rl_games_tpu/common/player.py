@@ -111,9 +111,9 @@ class BasePlayer:
             return actions
         space = self.env_info.action_space
         a = jnp.clip(actions, -1.0, 1.0)
-        if np.all(np.isfinite([space.low, space.high])):
-            d = (space.high - space.low) / 2.0
-            m = (space.high + space.low) / 2.0
+        if np.isfinite(space.low).all() and np.isfinite(space.high).all():
+            d = (np.asarray(space.high) - np.asarray(space.low)) / 2.0
+            m = (np.asarray(space.high) + np.asarray(space.low)) / 2.0
             return a * d + m
         return a
 

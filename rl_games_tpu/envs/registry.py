@@ -112,6 +112,29 @@ def _create_cheetah2d():
 
 register("Cheetah2D", {"vecenv_type": "JAX", "env_creator": _create_cheetah2d})
 
+# --- named gym-id builtins (the reference's env_configurations table,
+# env_configurations.py:198-331; unknown names also fall back to the
+# GYMNASIUM host bridge, so these rows document the supported zoo) ---
+for _gym_id in (
+    "LunarLander-v3",
+    "LunarLanderContinuous-v3",
+    "BipedalWalker-v3",
+    "BipedalWalkerHardcore-v3",
+    "CarRacing-v3",
+    "Acrobot-v1",
+    "MountainCar-v0",
+    "Ant-v5",
+    "HalfCheetah-v5",
+    "Hopper-v5",
+    "Humanoid-v5",
+    "Walker2d-v5",
+    "Reacher-v5",
+):
+    register(_gym_id, {"vecenv_type": "GYMNASIUM"})
+
+# native C++ stepper exclusives (no gymnasium analog)
+register("Hopper2D-v0", {"vecenv_type": "CPUENV"})
+
 
 def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
     from rl_games_tpu.envs.jax.multiagent import MultiAgentJaxVecEnv

@@ -119,6 +119,17 @@ class Runner:
 
         self.algo_name = params["algo"]["name"]
         config = params["config"]
+        # config-selectable observer (torch_runner.py:163-167)
+        if self.algo_observer is None and config.get("algo_observer"):
+            from rl_games_tpu.utils.observers import (
+                DefaultAlgoObserver, IsaacAlgoObserver,
+            )
+
+            self.algo_observer = (
+                IsaacAlgoObserver()
+                if config["algo_observer"] == "isaac"
+                else DefaultAlgoObserver()
+            )
         # user modules imported for their registration side effects —
         # custom networks / env plugins (torch_runner.py:152-155)
         for module in config.get("import_modules", []) or []:

@@ -62,6 +62,61 @@ class DefaultAlgoObserver(AlgoObserver):
             )
 
 
+class IsaacAlgoObserver(AlgoObserver):
+    """Isaac-style episode metrics (algo_observer.py:95-156): envs report
+    `infos['episode']` dicts at episode end and scalar direct-info keys;
+    per-key means land under `Episode/<key>`, direct scalars under
+    `<key>/frame|iter|time`. Fed by process_infos on the host path."""
+
+    def __init__(self):
+        self.ep_infos = []
+        self.direct_info = {}
+        self.writer = None
+
+    def after_init(self, algo):
+        self.algo = algo
+        self.writer = getattr(algo, "writer", None)
+
+    def process_infos(self, infos, done_indices):
+        if not isinstance(infos, dict):
+            raise ValueError(
+                f"{type(self).__name__} expected 'infos' as dict; got "
+                f"{type(infos)}"
+            )
+        if infos.get("episode"):
+            self.ep_infos.append(infos["episode"])
+        self.direct_info = {}
+        for k, v in infos.items():
+            if isinstance(v, (int, float)):
+                self.direct_info[k] = float(v)
+            elif hasattr(v, "ndim") and getattr(v, "ndim", None) == 0:
+                self.direct_info[k] = float(v)
+
+    def after_clear_stats(self):
+        self.ep_infos.clear()
+
+    def after_print_stats(self, frame, epoch_num, total_time):
+        import numpy as np
+
+        if self.writer is None:
+            return
+        if self.ep_infos:
+            all_keys = set().union(*self.ep_infos)
+            for key in sorted(all_keys):
+                vals = [
+                    np.asarray(e[key], np.float32).reshape(-1)
+                    for e in self.ep_infos
+                    if key in e
+                ]
+                value = float(np.concatenate(vals).mean())
+                self.writer.add_scalar("Episode/" + key, value, epoch_num)
+            self.ep_infos.clear()
+        for k, v in self.direct_info.items():
+            self.writer.add_scalar(f"{k}/frame", v, frame)
+            self.writer.add_scalar(f"{k}/iter", v, epoch_num)
+            self.writer.add_scalar(f"{k}/time", v, int(total_time))
+
+
 class MultiObserver(AlgoObserver):
     """Compose observers (pbt.py:275-302)."""
 

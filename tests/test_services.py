@@ -376,3 +376,62 @@ def test_pbt_in_process_adoption_with_real_agent(tmp_path):
     fn2 = laggard.make_train_fn(donate=False)
     _, m = fn2(new_state)
     assert np.isfinite(float(m["a_loss"]))
+
+
+def test_isaac_observer_host_path():
+    """IsaacAlgoObserver (algo_observer.py:95-156) fed by per-step
+    process_infos on the host rollout: Episode/<key> means and direct
+    scalar families reach the writer."""
+    from rl_games_tpu.algos.ppo import PPOAgent
+    from rl_games_tpu.utils.observers import IsaacAlgoObserver
+    from test_host_envs import _FakeSameStepEnv
+
+    class EpisodeInfoEnv(_FakeSameStepEnv):
+        def step(self, actions):
+            obs, rewards, done, infos = super().step(actions)
+            infos["my_metric"] = 3.5  # scalar direct-info
+            if done.any():
+                infos["episode"] = {"success": float(done.sum())}
+            return obs, rewards, done, infos
+
+    class RecWriter:
+        def __init__(self):
+            self.tags = {}
+
+        def add_scalar(self, tag, value, step):
+            self.tags[tag] = value
+
+        def flush(self):
+            pass
+
+    obs = IsaacAlgoObserver()
+    env = EpisodeInfoEnv([3, 5])
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+        "config": {
+            "env_name": "fake", "num_actors": 2, "horizon_length": 8,
+            "minibatch_size": 16, "mini_epochs": 1, "learning_rate": 1e-4,
+            "e_clip": 0.2, "clip_value": False, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 1.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False,
+            "seed": 3, "max_epochs": 2, "print_stats": False,
+            "save_best_after": 10**9, "train_dir": "/tmp/isaac_obs_test",
+            "features": {"observer": obs},
+        },
+    }
+    agent = PPOAgent("t", params, vec_env=env)
+    writer = RecWriter()
+    agent.train(writer=writer, max_epochs=2)
+    assert "Episode/success" in writer.tags
+    assert writer.tags["my_metric/frame"] == 3.5

@@ -66,6 +66,7 @@ PORTS = {
         ("ppo_halfcheetah.yaml", "cheetah2d"),
     ],
     "": [
+        ("carracing_ppo.yaml", "gym"),
         ("ppo_cartpole.yaml", "gym"),
         ("ppo_pendulum.yaml", "gym"),
         ("ppo_lunar.yaml", "gym"),
