@@ -195,6 +195,26 @@ class PlanarWalker(JaxEnv):
         return state, self._obs(state), reward, crashed, {}
 
 
+def Walker2D():
+    """Planar upright biped (the brax humanoid-class balance+walk analog):
+    short hip spacing, strict pitch limit — staying upright is part of the
+    task, unlike the sprawling Ant2D."""
+    return PlanarWalker(
+        hip_x=[-0.08, 0.08],
+        link_l=0.35,
+        link_m=0.18,
+        torso_m=1.5,
+        torso_i=0.1,
+        torque_scale=2.6,
+        joint_limit=1.2,
+        alive_bonus=1.0,
+        ctrl_cost=0.15,
+        init_height_factor=1.75,
+        crash_height=0.45,
+        crash_pitch=0.7,
+    )
+
+
 def Cheetah2D():
     """Planar sprinter biped (the brax halfcheetah analog): two long legs
     at the torso ends, higher torque, laxer pitch limit."""

@@ -112,6 +112,15 @@ def _create_cheetah2d():
 
 register("Cheetah2D", {"vecenv_type": "JAX", "env_creator": _create_cheetah2d})
 
+
+def _create_walker2d():
+    from rl_games_tpu.envs.jax.locomotion2d import Walker2D
+
+    return Walker2D()
+
+
+register("Walker2D", {"vecenv_type": "JAX", "env_creator": _create_walker2d})
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---

@@ -114,3 +114,43 @@ def test_cheetah2d_learns():
         state, m = fn(state)
     # random flailing hovers near the alive bonus; learned gait moves
     assert float(m["mean_rewards"][0]) > 40.0
+
+
+def test_walker2d_balance_improves():
+    """Walker2D (upright planar biped): staying up is the task — episode
+    length is the balance signal."""
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [64, 32], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+        "config": {
+            "env_name": "Walker2D", "num_actors": 64,
+            "horizon_length": 16, "minibatch_size": 256, "mini_epochs": 4,
+            "learning_rate": 3e-4, "lr_schedule": "adaptive",
+            "kl_threshold": 0.008, "e_clip": 0.2, "clip_value": True,
+            "gamma": 0.99, "tau": 0.95, "critic_coef": 2.0,
+            "entropy_coef": 0.0, "grad_norm": 1.0, "truncate_grads": True,
+            "normalize_advantage": True, "normalize_input": True,
+            "normalize_value": True, "bounds_loss_coef": 0.0001,
+            "value_bootstrap": True, "seed": 7,
+        },
+    }
+    agent = PPOAgent("t", params)
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    m = None
+    for _ in range(100):
+        state, m = fn(state)
+    assert float(m["mean_lengths"]) > 45.0  # untrained topples in ~25 steps
+    assert float(m["mean_rewards"][0]) > 40.0

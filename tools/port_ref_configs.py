@@ -64,6 +64,7 @@ PORTS = {
     "brax": [
         ("ppo_ant.yaml", "ant2d"), ("sac_ant.yaml", "ant2d"),
         ("ppo_halfcheetah.yaml", "cheetah2d"),
+        ("ppo_humanoid.yaml", "walker2d"),
     ],
     "": [
         ("carracing_ppo.yaml", "gym"),
@@ -164,6 +165,12 @@ def port_one(src, kind):
         env_cfg = {}
     elif kind == "cheetah2d":
         cfg["env_name"] = "Cheetah2D"
+        cfg.pop("vecenv_type", None)
+        env_cfg = {}
+    elif kind == "walker2d":
+        # brax humanoid's balance-class role maps to the planar upright
+        # biped (locomotion2d.Walker2D)
+        cfg["env_name"] = "Walker2D"
         cfg.pop("vecenv_type", None)
         env_cfg = {}
     elif kind == "masked_velocity":
