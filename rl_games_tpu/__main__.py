@@ -5,11 +5,30 @@ Mirrors the reference's runner.py:16-76 argument surface (--train/--play/
 """
 
 import argparse
+import os
 
 import yaml
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: without it every CLI invocation
+    recompiles its programs from scratch (minutes over a remote-compile
+    service). Override the location with RLG_JAX_CACHE_DIR."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "RLG_JAX_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=0, help="random seed override")
     ap.add_argument("-tf", "--tf", action="store_true", help="(ignored; parity)")
