@@ -765,10 +765,21 @@ class PPOAgent:
             self.ppo, self.e_clip,
         )
         if self.has_value_loss:
-            c_loss = L.critic_loss(
-                mb["old_values"], res["values"], self.e_clip, mb["returns"],
-                self.clip_value,
-            )
+            if "value_logits" in res:
+                # twohot head: cross-entropy against the two-hot encoding
+                # of symlog returns — NOT clipped MSE on the decoded value
+                # (TwoHotEncodedValue.loss, common/layers/value.py:33-38)
+                from rl_games_tpu.models.distributions import (
+                    symlog, twohot_log_prob,
+                )
+                c_loss = -twohot_log_prob(
+                    res["value_logits"], symlog(mb["returns"][..., 0])
+                )
+            else:
+                c_loss = L.critic_loss(
+                    mb["old_values"], res["values"], self.e_clip,
+                    mb["returns"], self.clip_value,
+                )
         else:
             # central value net owns the value loss (a2c_continuous.py:75)
             c_loss = jnp.zeros_like(res["values"])
@@ -1007,10 +1018,19 @@ class PPOAgent:
                 res = self.cv_model.forward_train(
                     p, state.cv_norm, mb["states"], **rnn_kwargs
                 )
-                loss = L.critic_loss(
-                    mb["old_values"], res["values"], self.cv_e_clip,
-                    mb["returns"], self.cv_clip_value,
-                )
+                if "value_logits" in res:
+                    # twohot head (common/layers/value.py:33-38)
+                    from rl_games_tpu.models.distributions import (
+                        symlog, twohot_log_prob,
+                    )
+                    loss = -twohot_log_prob(
+                        res["value_logits"], symlog(mb["returns"][..., 0])
+                    )
+                else:
+                    loss = L.critic_loss(
+                        mb["old_values"], res["values"], self.cv_e_clip,
+                        mb["returns"], self.cv_clip_value,
+                    )
                 return loss.mean()
 
             loss, grads = jax.value_and_grad(loss_fn)(cv_params)
@@ -1628,14 +1648,31 @@ class PPOAgent:
                 (max_epochs > 0 and epoch_num >= max_epochs)
                 or (self.max_frames > 0 and frame >= self.max_frames)
             )
-            do_log = (epoch_num % log_interval == 0) or will_exit
+            # stop_fn is consulted every epoch regardless of log cadence
+            # (the reference checks its stop condition per-epoch;
+            # torch_runner.py:63-95)
+            stop_requested = stop_fn is not None and stop_fn(self)
+            do_log = (
+                (epoch_num % log_interval == 0) or will_exit or stop_requested
+            )
             save_due = (
                 self.save_freq > 0 and epoch_num % self.save_freq == 0
             )
-            if not (do_log or save_due):
+            # self-play/PBT decide per-epoch in the reference and need fresh
+            # metrics, so their presence forces a device fetch even on
+            # non-log epochs.
+            need_metrics = (
+                do_log
+                or self_play_manager is not None
+                or pbt_manager is not None
+            )
+            if not (need_metrics or save_due):
+                if self._program_stale:
+                    self._rebuild_stale_program()
+                    train_fn = self.make_train_fn(mesh=mesh)
                 continue
             total_time = time.perf_counter() - start_time
-            if not do_log:
+            if not need_metrics:
                 meta = {
                     "last_mean_rewards": last_mean_rewards,
                     "epoch": epoch_num,
@@ -1647,55 +1684,75 @@ class PPOAgent:
                     ),
                     state, meta, weights=self.get_weights(state),
                 )
+                if self._program_stale:
+                    self._rebuild_stale_program()
+                    train_fn = self.make_train_fn(mesh=mesh)
                 continue
             metrics = jax.device_get(metrics_dev)
-            now = time.perf_counter()
-            epoch_time = (now - t_last_log) / log_interval
-            t_last_log = now
-            fps_total = self.batch_size / max(epoch_time, 1e-9)
-            timing = getattr(self, "_last_timing", None)
-            if timing is not None:
-                # host path: exact split (a2c_common.py:399-404)
-                fps_step = self.batch_size / max(timing["step_time"], 1e-9)
-                fps_inference = self.batch_size / max(
-                    timing["play_time"], 1e-9
-                )
-            elif self._rollout_time is not None:
-                # device path: rollout time calibrated once against a
-                # jitted rollout-only program (the fused epoch cannot be
-                # timed from inside); env vs inference is not separable
-                fps_inference = fps_step = self.batch_size / max(
-                    self._rollout_time, 1e-9
-                )
-            else:
-                fps_inference = fps_step = fps_total
-            write_ppo_stats(
-                writer, metrics, frame, epoch_num, total_time, fps_total,
-                fps_step, self.value_size, fps_inference=fps_inference,
-            )
-            writer.add_scalar(
-                "info/explained_variance",
-                float(metrics["explained_variance"]), frame,
-            )
-            diag = metrics.get("_diag")
-            if diag is not None:
-                for i in range(self.mini_epochs_num):
-                    writer.add_scalar(
-                        f"diagnostics/kl/{i}", float(diag["kl"][i]), frame
+            if do_log:
+                now = time.perf_counter()
+                epoch_time = (now - t_last_log) / log_interval
+                t_last_log = now
+                fps_total = self.batch_size / max(epoch_time, 1e-9)
+                timing = getattr(self, "_last_timing", None)
+                if timing is not None:
+                    # host path: exact split (a2c_common.py:399-404)
+                    fps_step = self.batch_size / max(
+                        timing["step_time"], 1e-9
                     )
-                    writer.add_scalar(
-                        f"diagnostics/clip_frac/{i}",
-                        float(diag["clip_frac"][i]), frame,
+                    fps_inference = self.batch_size / max(
+                        timing["play_time"], 1e-9
                     )
-                for k in ("obs_rms_mean", "obs_rms_var", "value_rms_mean",
-                          "value_rms_var"):
-                    if k in diag:
+                elif self._rollout_time is not None:
+                    # device path: rollout time calibrated once against a
+                    # jitted rollout-only program (the fused epoch cannot be
+                    # timed from inside); env vs inference is not separable
+                    fps_inference = fps_step = self.batch_size / max(
+                        self._rollout_time, 1e-9
+                    )
+                else:
+                    fps_inference = fps_step = fps_total
+                write_ppo_stats(
+                    writer, metrics, frame, epoch_num, total_time, fps_total,
+                    fps_step, self.value_size, fps_inference=fps_inference,
+                )
+                writer.add_scalar(
+                    "info/explained_variance",
+                    float(metrics["explained_variance"]), frame,
+                )
+                diag = metrics.get("_diag")
+                if diag is not None:
+                    for i in range(self.mini_epochs_num):
                         writer.add_scalar(
-                            f"diagnostics/{k}", float(diag[k]), frame
+                            f"diagnostics/kl/{i}", float(diag["kl"][i]),
+                            frame,
                         )
-            if observer is not None:
-                observer.after_epoch(metrics)
-                observer.after_print_stats(frame, epoch_num, total_time)
+                        writer.add_scalar(
+                            f"diagnostics/clip_frac/{i}",
+                            float(diag["clip_frac"][i]), frame,
+                        )
+                    for k in ("obs_rms_mean", "obs_rms_var",
+                              "value_rms_mean", "value_rms_var"):
+                        if k in diag:
+                            writer.add_scalar(
+                                f"diagnostics/{k}", float(diag[k]), frame
+                            )
+                if observer is not None:
+                    observer.after_epoch(metrics)
+                    observer.after_print_stats(frame, epoch_num, total_time)
+                if interval_writer is not None:
+                    interval_writer.tick()
+                if config.get("print_stats", True):
+                    print(
+                        f"fps total: {fps_total:.0f} epoch: {epoch_num}"
+                        + (f"/{max_epochs}" if max_epochs > 0 else "")
+                        + f" frames: {frame}"
+                        + (
+                            f" rew: {float(metrics['mean_rewards'][0]):.2f}"
+                            if int(metrics.get("games_played", 0)) > 0
+                            else ""
+                        )
+                    )
             if self_play_manager is not None:
                 pushed, state = self_play_manager.update(self, state, metrics)
                 if pushed:
@@ -1711,19 +1768,6 @@ class PPOAgent:
                 # epoch (gamma, e_clip, ...) — re-jit before the next one
                 self._rebuild_stale_program()
                 train_fn = self.make_train_fn(mesh=mesh)
-            if interval_writer is not None:
-                interval_writer.tick()
-            if config.get("print_stats", True):
-                print(
-                    f"fps total: {fps_total:.0f} epoch: {epoch_num}"
-                    + (f"/{max_epochs}" if max_epochs > 0 else "")
-                    + f" frames: {frame}"
-                    + (
-                        f" rew: {float(metrics['mean_rewards'][0]):.2f}"
-                        if int(metrics.get("games_played", 0)) > 0
-                        else ""
-                    )
-                )
 
             games_played = int(metrics.get("games_played", 0))
             mean_rewards = (
@@ -1765,7 +1809,7 @@ class PPOAgent:
                 print("MAX EPOCHS NUM!")
             if self.max_frames > 0 and frame >= self.max_frames:
                 print("MAX FRAMES NUM!")
-            if stop_fn is not None and stop_fn(self):
+            if stop_requested:
                 print("Custom stop condition met!")
                 should_exit = True
             if should_exit:

@@ -698,7 +698,8 @@ class SACAgent:
             rng, akey = jax.random.split(state.rng)
             state = state.replace(rng=rng, obs=next_obs_vec)
             actions = act(
-                state.actor_params, state.obs_rms, akey, next_obs_vec, warmup
+                state.actor_params, state.obs_rms, akey,
+                self._actor_obs(next_obs_vec), warmup,
             )
             return state, metrics, actions
 
@@ -718,6 +719,10 @@ class SACAgent:
     def host_train_epoch(self, state: SACTrainState):
         if not hasattr(self, "_host_fns"):
             self._host_fns = self._make_host_fns()
+        if not hasattr(self, "_pending"):
+            # NOT reset when _host_fns is invalidated (set_param): the
+            # pending transition must survive a re-jit or it is silently
+            # dropped from replay
             self._pending = None
         ingest_update_act, first_act = self._host_fns
 
@@ -914,10 +919,11 @@ class SACAgent:
                 or (self.max_frames > 0 and frame >= self.max_frames)
             )
             do_log = (epoch_num % log_interval == 0) or will_exit
+            stop_requested = False
             if not do_log:
                 mean_rewards = None
                 if stop_fn is not None and stop_fn(self):
-                    will_exit = do_log = True
+                    stop_requested = will_exit = do_log = True
             if do_log:
                 metrics = jax.device_get(metrics_dev)
                 now = time.perf_counter()
@@ -990,7 +996,14 @@ class SACAgent:
                 print("MAX EPOCHS NUM!")
             if self.max_frames > 0 and frame >= self.max_frames:
                 print("MAX FRAMES NUM!")
-            if do_log and stop_fn is not None and stop_fn(self):
+            if (
+                not stop_requested
+                and do_log
+                and stop_fn is not None
+                and stop_fn(self)
+            ):
+                stop_requested = True
+            if stop_requested:
                 should_exit = True
             if should_exit:
                 ckpt.save_checkpoint(

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rl_games_tpu.algos.ppo import Meters, meters_init, meters_mean, meters_update
+from rl_games_tpu.common.tr_helpers import rescale_actions
 from rl_games_tpu.envs import registry as env_registry
 from rl_games_tpu.envs.spaces import Box, actions_num_of, obs_shape_of
 from rl_games_tpu.models import model_builder
@@ -64,7 +65,7 @@ class BasePlayer:
         self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         rng = jax.random.PRNGKey(self.seed)
         if self.is_host_env:
-            obs = jnp.asarray(self.vec_env.reset())
+            obs = self._to_device_obs(self.vec_env.reset())
         else:
             _, obs = self.vec_env.reset(rng)
         example = obs["obs"] if isinstance(obs, dict) else obs
@@ -79,6 +80,18 @@ class BasePlayer:
 
     def _actor_obs(self, obs):
         return obs["obs"] if isinstance(obs, dict) else obs
+
+    @staticmethod
+    def _to_device_obs(o):
+        """Dict obs pass through per-key; uint8 image obs cast to f32 —
+        same cast the trainer's host path applies (a2c_common.py:540-575),
+        so train and play inference see identical dtypes."""
+        return jax.tree.map(
+            lambda x: jnp.asarray(x).astype(jnp.float32)
+            if np.asarray(x).dtype == np.uint8
+            else jnp.asarray(x),
+            o,
+        )
 
     def override_sigma(self, sigma: float):
         """--sigma at play time (_override_sigma, torch_runner.py:52-60)."""
@@ -112,9 +125,9 @@ class BasePlayer:
         space = self.env_info.action_space
         a = jnp.clip(actions, -1.0, 1.0)
         if np.isfinite(space.low).all() and np.isfinite(space.high).all():
-            d = (np.asarray(space.high) - np.asarray(space.low)) / 2.0
-            m = (np.asarray(space.high) + np.asarray(space.low)) / 2.0
-            return a * d + m
+            return rescale_actions(
+                np.asarray(space.low), np.asarray(space.high), a
+            )
         return a
 
     # -- evaluation mode (player.py:119-156): watch a directory for fresh
@@ -151,7 +164,7 @@ class BasePlayer:
         """Host-env evaluation loop (the reference player runs everywhere,
         common/player.py:274-393): jitted policy inference, non-jittable
         env stepping, episode accounting on the host."""
-        obs = jnp.asarray(self.vec_env.reset())
+        obs = self._to_device_obs(self.vec_env.reset())
         n = self.num_actors
         cur = np.zeros((n, self.value_size), np.float32)
         returns = []
@@ -168,7 +181,7 @@ class BasePlayer:
             for i in np.nonzero(np.asarray(dones))[0]:
                 returns.append(cur[i].copy())
                 cur[i] = 0.0
-            obs = jnp.asarray(next_obs)
+            obs = self._to_device_obs(next_obs)
             steps += 1
         mean_reward = float(np.mean([r[0] for r in returns])) if returns else 0.0
         print(f"av reward: {mean_reward:.2f} games played: {len(returns)}")
@@ -280,7 +293,7 @@ class SACPlayer(BasePlayer):
         self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
         rng = jax.random.PRNGKey(self.seed)
         if self.is_host_env:
-            obs = jnp.asarray(self.vec_env.reset())
+            obs = self._to_device_obs(self.vec_env.reset())
         else:
             _, obs = self.vec_env.reset(rng)
         example = obs["obs"] if isinstance(obs, dict) else obs

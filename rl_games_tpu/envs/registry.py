@@ -209,14 +209,59 @@ register_vecenv_type(
 )
 
 
+def _atari_ale_id(name: str) -> str:
+    """Map reference-era Atari ids — 'BreakoutNoFrameskip-v4' (gym),
+    'Breakout-v5' (envpool) — to the installed ale_py registrations
+    ('ALE/Breakout-v5')."""
+    if name.startswith("ALE/"):
+        return name
+    base = name
+    for suffix in ("NoFrameskip-v4", "Deterministic-v4", "-v4", "-v5", "-v0"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+            break
+    return f"ALE/{base}-v5"
+
+
 def _create_atari_vecenv(cfg, num_actors, **kwargs):
     """Deepmind-wrapped Atari over the gymnasium bridge (the reference's
-    atari factory fns, common/wrappers.py:663-721; requires ale_py)."""
+    atari factory fns, common/wrappers.py:663-721; requires ale_py).
+
+    Reference atari configs put the gym id in env_config['name'] and the
+    wrapper knobs (skip, episode_life, ...) alongside it
+    (configs/atari/ppo_breakout.yaml) — honor both here."""
+    import functools
+
     from rl_games_tpu.envs.host.gymnasium_env import GymnasiumVecEnv
     from rl_games_tpu.envs.host.wrappers import wrap_deepmind
 
-    kwargs.setdefault("wrappers", [wrap_deepmind])
-    return GymnasiumVecEnv(cfg["env_id"], num_actors, **kwargs)
+    try:
+        import ale_py
+        import gymnasium as gym
+
+        gym.register_envs(ale_py)
+    except ImportError as e:
+        raise ImportError(
+            "Atari envs need the ale_py package (not present in this "
+            "image); the config and wrapper stack are ready for it"
+        ) from e
+
+    name = kwargs.pop("name", None) or cfg["env_id"]
+    wrap_kwargs = {
+        k: kwargs.pop(k)
+        for k in ("skip", "episode_life", "clip_rewards", "frame_stack",
+                  "scale", "warp")
+        if k in kwargs
+    }
+    kwargs.setdefault(
+        "wrappers", [functools.partial(wrap_deepmind, **wrap_kwargs)]
+    )
+    # ALE v5 ids frameskip internally and default to sticky actions; the
+    # reference's NoFrameskip-v4 semantics are frameskip=1 (MaxAndSkipEnv
+    # does the skipping) with sticky actions off
+    kwargs.setdefault("frameskip", 1)
+    kwargs.setdefault("repeat_action_probability", 0.0)
+    return GymnasiumVecEnv(_atari_ale_id(name), num_actors, **kwargs)
 
 
 register_vecenv_type("ATARI", _create_atari_vecenv)

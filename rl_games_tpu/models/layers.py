@@ -397,16 +397,15 @@ class NoisyLinear(nn.Module):
     @nn.compact
     def __call__(self, x, noise_key=None):
         in_f = x.shape[-1]
-        mu_w = self.param(
-            "mu_w",
-            nn.initializers.uniform(scale=1.0 / jnp.sqrt(in_f)),
-            (in_f, self.features),
+        # symmetric uniform(-sqrt(3/in_f), +sqrt(3/in_f)) — layers.py:19-22
+        # (flax's uniform() samples [0, scale) only)
+        bound = (3.0 / in_f) ** 0.5
+        sym_uniform = (
+            lambda key, shape, dtype=jnp.float32:
+            jax.random.uniform(key, shape, dtype, -bound, bound)
         )
-        mu_b = self.param(
-            "mu_b",
-            nn.initializers.uniform(scale=1.0 / jnp.sqrt(in_f)),
-            (self.features,),
-        )
+        mu_w = self.param("mu_w", sym_uniform, (in_f, self.features))
+        mu_b = self.param("mu_b", sym_uniform, (self.features,))
         sig_w = self.param(
             "sigma_w", nn.initializers.constant(self.sigma_init),
             (in_f, self.features),

@@ -87,6 +87,16 @@ def normalize_values(norm: NormState, x):
     return rms_normalize(norm.value, x)
 
 
+def passthrough_extras(out, result):
+    """Forward optional network outputs to the loss assembly: custom-net
+    aux losses (a2c_continuous.py:194-202) and the twohot value head's
+    logits (common/layers/value.py:33-38 trains on them)."""
+    for k in ("aux_losses", "value_logits"):
+        if k in out:
+            result[k] = out[k]
+    return result
+
+
 class BaseModel:
     """Static model bundle. Subclasses implement forward_train/forward_play."""
 
@@ -165,9 +175,7 @@ class ModelA2CContinuousLogStd(BaseModel):
             "mus": mu,
             "sigmas": sigma,
         }
-        if "aux_losses" in out:
-            result["aux_losses"] = out["aux_losses"]
-        return result
+        return passthrough_extras(out, result)
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1,
@@ -234,14 +242,14 @@ class ModelA2CContinuousTanh(BaseModel):
         dist = self._dist(out)
         if entropy_key is None:
             entropy_key = jax.random.PRNGKey(0)
-        return {
+        return passthrough_extras(out, {
             "prev_neglogp": -dist.log_prob(prev_actions),
             "values": out["value"],
             "entropy": dist.entropy(entropy_key),
             "rnn_states": out["rnn_states"],
             "mus": dist.loc,
             "sigmas": dist.scale,
-        }
+        })
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None,
@@ -287,9 +295,7 @@ class ModelA2C(BaseModel):
             "rnn_states": out["rnn_states"],
             "logits": D.categorical_log_probs(logits, action_masks),
         }
-        if "aux_losses" in out:
-            result["aux_losses"] = out["aux_losses"]
-        return result
+        return passthrough_extras(out, result)
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1,
@@ -334,7 +340,7 @@ class ModelA2CMultiDiscrete(BaseModel):
         entropy = sum(
             D.categorical_entropy(l, masks[i]) for i, l in enumerate(logits_list)
         )
-        return {
+        return passthrough_extras(out, {
             "prev_neglogp": neglogp,
             "values": out["value"],
             "entropy": entropy,
@@ -343,7 +349,7 @@ class ModelA2CMultiDiscrete(BaseModel):
                 D.categorical_log_probs(l, masks[i])
                 for i, l in enumerate(logits_list)
             ),
-        }
+        })
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1,
@@ -385,7 +391,9 @@ class ModelCentralValue(BaseModel):
         self, params, norm, obs, rnn_states=None, dones=None, seq_length=1
     ):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
-        return {"values": out["value"], "rnn_states": out["rnn_states"]}
+        return passthrough_extras(
+            out, {"values": out["value"], "rnn_states": out["rnn_states"]}
+        )
 
     def forward_play(
         self, params, norm, key, obs, rnn_states=None, dones=None, seq_length=1

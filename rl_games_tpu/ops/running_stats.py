@@ -190,7 +190,9 @@ def generalized_moving_stats_init(shape) -> GeneralizedMovingStatsState:
     return GeneralizedMovingStatsState(
         low=jnp.zeros(shape, jnp.float32),
         high=jnp.zeros(shape, jnp.float32),
-        step=jnp.zeros((), jnp.int32),
+        # step starts at 1 (moving_mean_std.py:25,29,39 uses torch.ones), so
+        # after k updates the '_corr' debias is 1 - decay^(k+1)
+        step=jnp.ones((), jnp.int32),
     )
 
 

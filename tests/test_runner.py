@@ -142,6 +142,19 @@ def test_stop_fn_resolution_from_config(tmp_path):
     assert epochs == 1  # stopped after the first epoch
 
 
+def test_stop_fn_fires_on_non_log_epoch(tmp_path):
+    """stop_fn is consulted every epoch, not every log_interval epochs —
+    the reference checks its stop condition per-epoch regardless of the
+    logging cadence."""
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=50)
+    cfg["params"]["config"]["stop_fn"] = "test_runner:_stop_immediately"
+    cfg["params"]["config"]["log_interval"] = 10
+    runner = Runner()
+    runner.load(cfg)
+    _, epochs = runner.run({"train": True})
+    assert epochs == 1  # not delayed until epoch 10
+
+
 def test_sigma_override_train_and_play(tmp_path):
     """--sigma fills the fixed-sigma parameter (torch_runner.py:52-60)."""
     import jax

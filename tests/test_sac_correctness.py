@@ -214,3 +214,19 @@ def test_utd_accounting():
     # gated on warmup at ingest time (epochs 4..10 ingest post-warmup)
     expected_update_steps = 10 - 3
     assert int(state.update_counter) == 2 * expected_update_steps
+
+
+def test_set_param_preserves_pending_transition():
+    """set_param invalidates the jitted host fns (gamma is baked into the
+    compiled program) but must NOT drop the pipelined pending transition:
+    every env step still lands in replay exactly once."""
+    env = _FakeHostEnv([100, 100], autoreset_mode="same_step")
+    agent = _agent(env, num_steps_per_episode=2)
+    state = agent.init_state()
+    state, _ = _run_epochs(agent, state, 5)
+    state = agent.set_param("gamma", 0.95, state)
+    state, _ = _run_epochs(agent, state, 5)
+    obs, nxt, rew, dones, trunc = _replay_rows(state)
+    # 10 epochs x 2 steps, one transition still pending in the pipeline
+    assert len(obs) == 2 * (10 * 2 - 1)
+    _check_rows(obs, nxt, rew, dones)

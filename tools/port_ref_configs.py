@@ -156,9 +156,22 @@ def port_one(src, kind):
         p["network"] = {"name": "testnet_aux_loss"}
         cfg["import_modules"] = ["rl_games_tpu.models.test_network"]
     elif kind == "atari":
-        gym_id = env_cfg.pop("env_name", None) or env_name
+        # gym-style configs carry the id in env_config['name']
+        # (configs/atari/ppo_breakout.yaml), envpool-style in
+        # env_config['env_name'] (ppo_breakout_envpool.yaml)
+        gym_id = (
+            env_cfg.pop("name", None)
+            or env_cfg.pop("env_name", None)
+            or env_name
+        )
         cfg["env_name"] = ATARI_ID_MAP.get(gym_id, gym_id)
         cfg["vecenv_type"] = "ATARI"
+        # envpool wrapper knob name -> the deepmind stack's
+        env_cfg.pop("has_lives", None)
+        if "episodic_life" in env_cfg:
+            env_cfg["episode_life"] = env_cfg.pop("episodic_life")
+        for k in ("stack_num", "gray_scale", "use_combined_action"):
+            env_cfg.pop(k, None)
     elif kind == "ant2d":
         cfg["env_name"] = "Ant2D"
         cfg.pop("vecenv_type", None)
