@@ -164,5 +164,29 @@ class GymnasiumVecEnv:
             out_infos,
         )
 
+    def set_weights(self, indices, weights):
+        """RayWorker.set_weights analog (common/vecenv.py:141-152): push
+        opponent policy weights into the underlying envs for self-play.
+        Sub-envs that don't implement ``set_weights`` are skipped."""
+        import jax
+
+        w = jax.device_get(weights)
+        if hasattr(self.env, "envs"):
+            # sync vectorization: selective per-index push, unwrapping the
+            # gymnasium wrapper chain to the first set_weights provider
+            for i in indices:
+                target = self.env.envs[i]
+                while target is not None and not hasattr(
+                    target, "set_weights"
+                ):
+                    target = getattr(target, "env", None)
+                if target is not None:
+                    target.set_weights(w)
+        else:
+            # async (process-per-env) vectorization has no per-index call
+            # surface: broadcast, mirroring the reference's common case of
+            # pushing to every worker (vecenv.py:154-162)
+            self.env.call("set_weights", w)
+
     def close(self):
         self.env.close()

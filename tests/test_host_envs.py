@@ -408,3 +408,40 @@ def test_ppo_host_central_value_trains():
         cv_before, jax.device_get(state.cv_params),
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_gymnasium_set_weights_reaches_sub_envs():
+    """GymnasiumVecEnv.set_weights pushes opponent weights into the
+    selected sub-envs through the wrapper chain (RayWorker.set_weights,
+    common/vecenv.py:141-152)."""
+    import gymnasium as gym
+    import numpy as np
+
+    from rl_games_tpu.envs.host.gymnasium_env import GymnasiumVecEnv
+
+    class _OpponentEnv(gym.Env):
+        observation_space = gym.spaces.Box(-1, 1, (2,), np.float32)
+        action_space = gym.spaces.Discrete(2)
+
+        def __init__(self):
+            self.received = None
+
+        def set_weights(self, weights):
+            self.received = weights
+
+        def reset(self, *, seed=None, options=None):
+            return np.zeros(2, np.float32), {}
+
+        def step(self, action):
+            return np.zeros(2, np.float32), 0.0, False, False, {}
+
+    gym.register(id="SetWeightsProbe-v0", entry_point=_OpponentEnv)
+    try:
+        env = GymnasiumVecEnv("SetWeightsProbe-v0", 3)
+        env.set_weights([0, 2], {"w": np.ones(4)})
+        received = [e.unwrapped.received for e in env.env.envs]
+        assert received[0] is not None and received[2] is not None
+        assert received[1] is None
+        np.testing.assert_array_equal(received[0]["w"], np.ones(4))
+    finally:
+        del gym.registry["SetWeightsProbe-v0"]

@@ -330,3 +330,70 @@ def test_generalized_moving_stats_variants():
     onp.testing.assert_allclose(
         onp.asarray(x2)[mask], onp.asarray(x[:8])[mask], rtol=1e-4, atol=1e-4
     )
+
+
+def test_twohot_log_prob_matches_torch_reference_formula():
+    """twohot_log_prob follows the reference TwoHotDist.log_prob
+    (distributions.py:80-93) including its width convention
+    (range/255, NOT the exact bucket width range/254) — cross-checked
+    through torch.distributions.OneHotCategorical."""
+    torch = pytest.importorskip("torch")
+    import numpy as onp
+    from rl_games_tpu.models import distributions as D
+
+    rng = onp.random.RandomState(1)
+    logits = rng.normal(size=(32, 255)).astype("float32")
+    targets = rng.uniform(-19.5, 19.5, size=(32,)).astype("float32")
+
+    t_logits = torch.tensor(logits)
+    dist = torch.distributions.OneHotCategorical(logits=t_logits)
+    buckets = torch.linspace(-20.0, 20.0, steps=255)
+    width = (buckets[-1] - buckets[0]) / 255
+    x = (torch.tensor(targets) - buckets[0]) / width
+    lo = torch.clip(x.to(torch.int64), min=0, max=253)
+    hi = lo + 1
+    w_lo, w_hi = torch.abs(x - hi), torch.abs(x - lo)
+    lp_lo = dist.log_prob(
+        torch.nn.functional.one_hot(lo, num_classes=255).float()
+    )
+    lp_hi = dist.log_prob(
+        torch.nn.functional.one_hot(hi, num_classes=255).float()
+    )
+    expected = (w_lo * lp_lo + w_hi * lp_hi).numpy()
+
+    got = onp.asarray(D.twohot_log_prob(jnp.asarray(logits),
+                                        jnp.asarray(targets)))
+    onp.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_twohot_value_logits_reach_the_loss():
+    """The twohot value head's logits flow through forward_train so the
+    PPO critic loss trains the distribution, not an MSE on the decoded
+    value (common/layers/value.py:33-38)."""
+    from rl_games_tpu.models import model_builder
+
+    params = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "value_head": "twohot",
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+            "mlp": {"units": [16], "activation": "relu",
+                    "initializer": {"name": "default"}},
+        },
+    }
+    model = model_builder.ModelBuilder().load(
+        params, actions_num=2, input_shape=(3,), value_size=1,
+        normalize_input=False, normalize_value=False,
+    )
+    net_params, norm = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)))
+    res = model.forward_train(
+        net_params, norm, jnp.zeros((4, 3)), jnp.zeros((4, 2))
+    )
+    assert "value_logits" in res
+    assert res["value_logits"].shape == (4, 255)
