@@ -115,3 +115,27 @@ def _build_only(doc):
         p, norm, rng, obs, rnn_states=rnn_states, seq_length=1
     )
     assert np.isfinite(np.asarray(out["values"])).all()
+
+
+def test_atari_id_mapping_and_config_binding():
+    """Ported atari configs carry a resolvable ALE id and wrapper knobs the
+    ATARI factory understands (reference env_config['name'] / envpool
+    env_config['env_name'], configs/atari/*.yaml)."""
+    from rl_games_tpu.envs.registry import _atari_ale_id
+
+    assert _atari_ale_id("BreakoutNoFrameskip-v4") == "ALE/Breakout-v5"
+    assert _atari_ale_id("Pong-v5") == "ALE/Pong-v5"
+    assert _atari_ale_id("ALE/MsPacman-v5") == "ALE/MsPacman-v5"
+    for path in ALL_CONFIGS:
+        if _family(path) != "atari":
+            continue
+        with open(path) as f:
+            cfg = yaml.safe_load(f)["params"]["config"]
+        # the dead binding shape this test guards against: env_name left as
+        # the reference's registry alias with the real id buried in
+        # env_config
+        assert cfg["env_name"] not in ("atari_gym", "envpool"), path
+        assert cfg.get("vecenv_type") == "ATARI", path
+        env_cfg = cfg.get("env_config", {})
+        assert "name" not in env_cfg and "env_name" not in env_cfg, path
+        assert _atari_ale_id(cfg["env_name"]).startswith("ALE/"), path
