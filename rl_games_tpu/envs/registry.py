@@ -145,6 +145,28 @@ for _gym_id in (
 register("Hopper2D-v0", {"vecenv_type": "CPUENV"})
 
 
+def _create_dmcontrol_vecenv(cfg, num_actors, **kwargs):
+    from rl_games_tpu.envs.host.dm_control_env import create_dmcontrol_vecenv
+
+    return create_dmcontrol_vecenv(cfg, num_actors, **kwargs)
+
+
+register_vecenv_type("DMCONTROL", _create_dmcontrol_vecenv)
+
+# the reference's dm_control zoo (configs/dm_control/*.yaml reach these
+# envpool ids through Envpool(flatten_obs=True); here they bind to the
+# in-tree dm_control suite adapter)
+for _dmc_id in (
+    "AcrobotSwingup-v1", "BallInCupCatch-v1", "CartpoleBalance-v1",
+    "CartpoleSwingup-v1", "CheetahRun-v1", "FishSwim-v1", "HopperHop-v1",
+    "HopperStand-v1", "HumanoidRun-v1", "HumanoidStand-v1",
+    "HumanoidWalk-v1", "ManipulatorBringBall-v1", "PendulumSwingup-v1",
+    "ReacherEasy-v1", "ReacherHard-v1", "WalkerRun-v1", "WalkerStand-v1",
+    "WalkerWalk-v1",
+):
+    register(_dmc_id, {"vecenv_type": "DMCONTROL"})
+
+
 def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
     from rl_games_tpu.envs.jax.multiagent import MultiAgentJaxVecEnv
 

@@ -66,6 +66,16 @@ PORTS = {
         ("ppo_halfcheetah.yaml", "cheetah2d"),
         ("ppo_humanoid.yaml", "walker2d"),
     ],
+    "dm_control": [
+        ("acrobot_swingup.yaml", "dmc"), ("ball_in_cup.yaml", "dmc"),
+        ("cartpole.yaml", "dmc"), ("cartpole_balance.yaml", "dmc"),
+        ("cheetah_walk.yaml", "dmc"), ("fish_swim.yaml", "dmc"),
+        ("hopper_hop.yaml", "dmc"), ("hopper_stand.yaml", "dmc"),
+        ("humanoid_run.yaml", "dmc"), ("humanoid_stand.yaml", "dmc"),
+        ("humanoid_walk.yaml", "dmc"), ("manipulator_bringball.yaml", "dmc"),
+        ("pendulum_swingup.yaml", "dmc"), ("walker_run.yaml", "dmc"),
+        ("walker_stand.yaml", "dmc"), ("walker_walk.yaml", "dmc"),
+    ],
     "": [
         ("carracing_ppo.yaml", "gym"),
         ("ppo_cartpole.yaml", "gym"),
@@ -155,6 +165,13 @@ def port_one(src, kind):
         env_cfg = {"aux_loss": True}
         p["network"] = {"name": "testnet_aux_loss"}
         cfg["import_modules"] = ["rl_games_tpu.models.test_network"]
+    elif kind == "dmc":
+        # envpool-style ids in env_config['env_name'] ('WalkerWalk-v1') or
+        # shimmy-style ('dm_control/cartpole-balance-v0'); both resolve in
+        # envs/host/dm_control_env.resolve_task
+        cfg["env_name"] = env_cfg.pop("env_name")
+        cfg["vecenv_type"] = "DMCONTROL"
+        env_cfg.pop("flatten_obs", None)
     elif kind == "atari":
         # gym-style configs carry the id in env_config['name']
         # (configs/atari/ppo_breakout.yaml), envpool-style in
