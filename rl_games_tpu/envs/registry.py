@@ -289,6 +289,20 @@ def _create_atari_vecenv(cfg, num_actors, **kwargs):
 register_vecenv_type("ATARI", _create_atari_vecenv)
 
 
+def _create_multiwalker_vecenv(cfg, num_actors, **kwargs):
+    """PettingZoo SISL multiwalker (the reference's multiwalker_env binding,
+    env_configurations.py + envs/multiwalker.py)."""
+    from rl_games_tpu.envs.host.pettingzoo_env import MultiWalkerVecEnv
+
+    merged = {**cfg.get("env_config", {}), **kwargs}
+    merged.pop("env_name", None)
+    return MultiWalkerVecEnv(num_actors, **merged)
+
+
+register("multiwalker_env", {"vecenv_type": "MULTIWALKER"})
+register_vecenv_type("MULTIWALKER", _create_multiwalker_vecenv)
+
+
 def _create_selfplay_vecenv(cfg, num_actors, **kwargs):
     """Self-play device env (embedded opponent weights; the
     RayWorker.set_weights analog)."""

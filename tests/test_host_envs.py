@@ -445,3 +445,47 @@ def test_gymnasium_set_weights_reaches_sub_envs():
         np.testing.assert_array_equal(received[0]["w"], np.ones(4))
     finally:
         del gym.registry["SetWeightsProbe-v0"]
+
+
+def test_multiwalker_vecenv_rows_and_autoreset():
+    """PettingZoo multiwalker adapter: agents-minor row layout, per-row
+    central states, same_step reset-on-done with time_outs + final rows
+    (reference envs/multiwalker.py + RayWorker reset semantics,
+    common/vecenv.py:105-116)."""
+    pytest.importorskip("pettingzoo")
+    from rl_games_tpu.envs.host.pettingzoo_env import MultiWalkerVecEnv
+
+    env = MultiWalkerVecEnv(
+        2, central_value=True, apply_agent_ids=True, seed=3, max_cycles=2,
+    )
+    info = env.get_env_info()
+    assert info.agents == 3
+    core = env.state_dim // 3
+    assert info.observation_space.shape == (core + 3,)
+    assert info.state_space.shape == (3 * core,)
+
+    obs = env.reset()
+    assert obs["obs"].shape == (6, core + 3)
+    assert obs["states"].shape == (6, 3 * core)
+    # agent-id one-hots in agents-minor order
+    np.testing.assert_allclose(obs["obs"][:3, core:], np.eye(3))
+    # per-row states identical within an env, differing across envs
+    np.testing.assert_allclose(obs["states"][0], obs["states"][2])
+
+    acts = np.zeros((6, env.action_dim), np.float32)
+    for t in range(2):
+        obs, rewards, dones, infos = env.step(acts)
+        assert rewards.shape == (6,)
+        assert dones.shape == (6,)
+        if dones.any():
+            break
+    assert dones.all(), "episode must end within max_cycles"
+    # time_outs only ever marks done rows (trunc & ~term)
+    assert infos["time_outs"].dtype == bool
+    assert not np.any(infos["time_outs"] & ~dones)
+    assert infos["final_observation"]["obs"].shape == (6, core + 3)
+    # post-done obs is the fresh episode's first rows, not the final rows
+    assert not np.allclose(
+        obs["obs"], infos["final_observation"]["obs"]
+    )
+    env.close()

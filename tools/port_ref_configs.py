@@ -65,6 +65,14 @@ PORTS = {
         ("ppo_ant.yaml", "ant2d"), ("sac_ant.yaml", "ant2d"),
         ("ppo_halfcheetah.yaml", "cheetah2d"),
         ("ppo_humanoid.yaml", "walker2d"),
+        ("sac_humanoid.yaml", "walker2d"),
+    ],
+    "pufferlib": [
+        # the reference's pufferlib backend is a process-pool around the
+        # same gym ids; the host bridge plays that role here
+        ("ppo_cartpole.yaml", "gym"),
+        ("ppo_bipedal_walker.yaml", "gym"),
+        ("ppo_bipedal_walker_hardcore.yaml", "gym"),
     ],
     "dm_control": [
         ("acrobot_swingup.yaml", "dmc"), ("ball_in_cup.yaml", "dmc"),
@@ -90,7 +98,15 @@ PORTS = {
         ("ppo_continuous_lstm.yaml", "gym"),
         ("ppo_cartpole_masked_velocity_rnn.yaml", "masked_velocity"),
         ("sac_pendulum.yaml", "gym"),
+        ("ppo_multiwalker.yaml", "multiwalker"),
+        ("ppo_pendulum_torch.yaml", "gym"),
+        ("ppo_reacher.yaml", "gym"),
     ],
+}
+
+# dead-backend gym ids -> the installed gymnasium generation's
+GYM_ID_MAP = {
+    "ReacherPyBulletEnv-v0": "Reacher-v5",  # pybullet -> MuJoCo analog
 }
 
 ATARI_ID_MAP = {
@@ -126,6 +142,7 @@ def port_one(src, kind):
         )
         if gym_id:
             cfg["env_name"] = gym_id
+        cfg["env_name"] = GYM_ID_MAP.get(cfg["env_name"], cfg["env_name"])
         cfg["vecenv_type"] = "GYMNASIUM"
         # envpool-only env kwargs: use_contact_force maps to gymnasium's
         # include_cfrc_ext_in_observation (the published SAC Ant band
@@ -136,6 +153,12 @@ def port_one(src, kind):
             )
         for k in ("steps_limit", "flat_observation"):
             env_cfg.pop(k, None)
+        # pufferlib backend knobs: process-parallel stepping maps to the
+        # host bridge's AsyncVectorEnv option
+        if env_cfg.pop("backend", None) == "Multiprocessing":
+            env_cfg["use_async"] = True
+        env_cfg.pop("num_workers", None)
+        env_cfg.pop("backend_kwargs", None)
         # v3/v4 MuJoCo ids -> v5 (the installed gymnasium generation)
         for old, new in (("-v3", "-v5"), ("-v4", "-v5")):
             if cfg["env_name"].endswith(old) and any(
@@ -172,6 +195,11 @@ def port_one(src, kind):
         cfg["env_name"] = env_cfg.pop("env_name")
         cfg["vecenv_type"] = "DMCONTROL"
         env_cfg.pop("flatten_obs", None)
+    elif kind == "multiwalker":
+        # binds to the in-tree pettingzoo adapter; env_config keys
+        # (central_value, use_prev_actions, apply_agent_ids) pass through.
+        # use_experimental_cv is a torch-only toggle
+        cfg.pop("use_experimental_cv", None)
     elif kind == "atari":
         # gym-style configs carry the id in env_config['name']
         # (configs/atari/ppo_breakout.yaml), envpool-style in
