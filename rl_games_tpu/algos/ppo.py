@@ -320,10 +320,12 @@ class PPOAgent:
         # loss (a2c_continuous.py:75)
         self.has_value_loss = not self.has_central_value
         if config.get("use_action_masks", False) and self.is_host_env:
-            raise NotImplementedError(
-                "action masks over host envs are not wired yet — use the "
-                "device (JAX) env path"
-            )
+            if not hasattr(self.vec_env, "get_action_masks"):
+                raise ValueError(
+                    "use_action_masks requires the host vec env to expose "
+                    "get_action_masks() (IVecEnv surface, "
+                    "common/ivecenv.py:24-26)"
+                )
         if (
             self.is_host_env
             and getattr(self.vec_env, "autoreset_mode", "same_step")
@@ -1152,12 +1154,17 @@ class PPOAgent:
     # ------------------------------------------------------------------
     def _make_host_fns(self):
         def policy_step(params, norm, cv_params, cv_norm, key, obs, dones,
-                        rnn_states, cv_rnn_states):
+                        rnn_states, cv_rnn_states, action_masks=None):
+            mask_kwargs = (
+                {} if action_masks is None
+                else {"action_masks": action_masks}
+            )
             res = self.model.forward_play(
                 params, norm, key, self._actor_obs(obs),
                 rnn_states=rnn_states,
                 dones=dones if (self.is_rnn and self.zero_rnn_on_done) else None,
                 seq_length=1,
+                **mask_kwargs,
             )
             res = dict(res)
             if self.has_central_value:
@@ -1212,9 +1219,14 @@ class PPOAgent:
                 snapshots.append(rnn_states)
                 cv_snapshots.append(cv_rnn_states)
             rng, akey = jax.random.split(rng)
+            masks = None
+            if self.use_action_masks:
+                # get_masked_action_values over the host boundary
+                # (a2c_discrete.py:92-114; RayWorker.get_action_mask)
+                masks = jnp.asarray(self.vec_env.get_action_masks())
             res = policy_step(
                 state.params, state.norm, state.cv_params, state.cv_norm,
-                akey, obs, dones, rnn_states, cv_rnn_states,
+                akey, obs, dones, rnn_states, cv_rnn_states, masks,
             )
             actions_np = np.asarray(res["env_actions"])
             t0 = time.perf_counter()
@@ -1250,6 +1262,8 @@ class PPOAgent:
                 step_out["sigmas"] = res["sigmas"]
             if self.has_central_value:
                 step_out["states"] = obs["states"]
+            if self.use_action_masks:
+                step_out["action_masks"] = masks
             traj_steps.append(step_out)
             obs = to_device_obs(next_obs)
             dones = jnp.asarray(new_dones, jnp.float32)

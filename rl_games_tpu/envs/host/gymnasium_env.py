@@ -164,6 +164,14 @@ class GymnasiumVecEnv:
             out_infos,
         )
 
+    def get_action_masks(self):
+        """RayWorker.get_action_mask analog (common/vecenv.py:132-139):
+        collect per-env masks from sub-envs that expose get_action_mask
+        (sync vectorization only)."""
+        return np.stack(
+            [e.unwrapped.get_action_mask() for e in self.env.envs]
+        )
+
     def set_weights(self, indices, weights):
         """RayWorker.set_weights analog (common/vecenv.py:141-152): push
         opponent policy weights into the underlying envs for self-play.

@@ -254,3 +254,43 @@ class AsymmetricEnv(JaxEnv):
             terminated,
             info,
         )
+
+
+class ContinuousAsymmetricEnv(JaxEnv):
+    """Pendulum with the angular-velocity component masked from the actor
+    obs; the full state reaches the central-value critic via the
+    {'obs','states'} dict (the continuous sibling of AsymmetricEnv — the
+    reference's TestAsymmetricCritic fixture role,
+    envs/test/test_asymmetric_env.py:6 bound by
+    configs/test/test_asymmetric_continuous.yaml)."""
+
+    def __init__(self):
+        from rl_games_tpu.envs.jax.classic import Pendulum
+
+        self.inner = Pendulum()
+        self.max_episode_steps = self.inner.max_episode_steps
+        self.mask = jnp.asarray([1.0, 1.0, 0.0])
+
+    def env_info(self):
+        inner = self.inner.env_info()
+        return EnvInfo(
+            observation_space=inner.observation_space,
+            action_space=inner.action_space,
+            state_space=inner.observation_space,
+        )
+
+    def reset(self, key):
+        estate, obs = self.inner.reset(key)
+        return estate, {"obs": obs * self.mask, "states": obs}
+
+    def step(self, estate, action, key):
+        estate, obs, reward, terminated, info = self.inner.step(
+            estate, action, key
+        )
+        return (
+            estate,
+            {"obs": obs * self.mask, "states": obs},
+            reward,
+            terminated,
+            info,
+        )

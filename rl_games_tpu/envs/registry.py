@@ -121,6 +121,15 @@ def _create_walker2d():
 
 register("Walker2D", {"vecenv_type": "JAX", "env_creator": _create_walker2d})
 
+
+def _create_arm2d(**kwargs):
+    from rl_games_tpu.envs.jax.arm2d import Arm2D
+
+    return Arm2D(**kwargs)
+
+
+register("Arm2D", {"vecenv_type": "JAX", "env_creator": _create_arm2d})
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---
@@ -165,6 +174,51 @@ for _dmc_id in (
     "WalkerWalk-v1",
 ):
     register(_dmc_id, {"vecenv_type": "DMCONTROL"})
+
+
+# external-simulator bindings the reference reaches through out-of-image
+# packages (envpool C++, StarCraft II, MuJoCo-Warp, ManiSkill, MyoSuite,
+# brax, minigrid): registered so their configs resolve to a clear error
+# naming the missing dependency instead of a gym.make failure
+# (the reference fails the same way at its lazy imports,
+# vecenv.py:196-219 / envs/*.py import sites)
+def _missing_sim(name, package, hint=""):
+    def create(cfg, num_actors, **kwargs):
+        raise ImportError(
+            f"env '{name}' needs the external '{package}' simulator, which "
+            f"is not in this image. The config schema and network build are "
+            f"covered by tests/test_ref_configs.py.{hint}"
+        )
+
+    return create
+
+
+for _sim_name, _pkg, _hint in (
+    ("smac", "SMAC (StarCraft II)",
+     " Masked multi-agent machinery runs on the device fixtures "
+     "(cooperative_gather, test_masked_env)."),
+    ("smac_cnn", "SMAC (StarCraft II)", ""),
+    ("smac_v2", "SMACv2 (StarCraft II)", ""),
+    ("maniskill", "mani_skill", ""),
+    ("myo_gym", "myosuite", ""),
+    ("envpool", "envpool",
+     " The GYMNASIUM / CPUENV / DMCONTROL backends cover its env zoo "
+     "in-tree."),
+    ("brax", "brax",
+     " The device-resident JAX envs (Ant2D, Cheetah2D, Walker2D) are the "
+     "in-tree brax-class analogs."),
+    ("minigrid", "minigrid", ""),
+):
+    _vt = f"_MISSING_{_sim_name.upper()}"
+    register_vecenv_type(_vt, _missing_sim(_sim_name, _pkg, _hint))
+    register(_sim_name, {"vecenv_type": _vt})
+
+for _mjlab_task in ("mjlab_go1_velocity", "mjlab_g1_velocity",
+                    "mjlab_lift_cube_yam", "mjlab_wujihand_reorient",
+                    "mjlab"):
+    _vt = f"_MISSING_{_mjlab_task.upper()}"
+    register_vecenv_type(_vt, _missing_sim(_mjlab_task, "mjlab (MuJoCo-Warp)"))
+    register(_mjlab_task, {"vecenv_type": _vt})
 
 
 def _create_multiagent_vecenv(cfg, num_actors, **kwargs):
@@ -303,6 +357,42 @@ register("multiwalker_env", {"vecenv_type": "MULTIWALKER"})
 register_vecenv_type("MULTIWALKER", _create_multiwalker_vecenv)
 
 
+def _create_connect4_vecenv(cfg, num_actors, **kwargs):
+    """Connect-four self-play over pettingzoo.classic (the reference's
+    ma/ppo_connect4_self_play.yaml 'connect4_env' binding — whose env
+    module is absent from the reference tree; runnable here). The opponent
+    network is built from env_config['config_path'] (the training YAML,
+    mirroring the reference config's own key) or an injected
+    'network_params' dict."""
+    import os
+
+    from rl_games_tpu.envs.host.connect4_env import Connect4SelfPlayVecEnv
+
+    merged = {**cfg.get("env_config", {}), **kwargs}
+    for k in ("name", "env_name", "self_play", "is_human", "random_agent"):
+        merged.pop(k, None)
+    network_params = merged.pop("network_params", None)
+    config_path = merged.pop("config_path", None)
+    if network_params is None and config_path:
+        import yaml
+
+        path = config_path
+        if not os.path.exists(path):
+            repo_root = os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            path = os.path.join(repo_root, config_path)
+        with open(path) as f:
+            network_params = yaml.safe_load(f)["params"]
+    return Connect4SelfPlayVecEnv(
+        num_actors, network_params=network_params, **merged
+    )
+
+
+register("connect4_env", {"vecenv_type": "CONNECT4"})
+register_vecenv_type("CONNECT4", _create_connect4_vecenv)
+
+
 def _create_selfplay_vecenv(cfg, num_actors, **kwargs):
     """Self-play device env (embedded opponent weights; the
     RayWorker.set_weights analog)."""
@@ -339,6 +429,13 @@ def register_test_envs():
     register(
         "test_dict_obs_env",
         {"vecenv_type": "JAX", "env_creator": test_envs.DictObsMemoryEnv},
+    )
+    register(
+        "test_asymmetric_continuous_env",
+        {
+            "vecenv_type": "JAX",
+            "env_creator": test_envs.ContinuousAsymmetricEnv,
+        },
     )
 
 

@@ -109,3 +109,46 @@ def test_registry():
     env = create_vec_env("Pendulum-v1", 6)
     state, obs = env.reset(jax.random.PRNGKey(1))
     assert obs.shape == (6, 3)
+
+
+def test_arm2d_learns_reaching():
+    """Arm2D (brax ur5e-class reach task): PPO cuts the mean distance
+    penalty — per-episode reward must clearly improve over training."""
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [64, 64], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True,
+            }},
+        },
+        "config": {
+            "env_name": "Arm2D", "num_actors": 64, "horizon_length": 32,
+            "minibatch_size": 512, "mini_epochs": 4, "learning_rate": 1e-3,
+            "lr_schedule": "adaptive", "kl_threshold": 0.008,
+            "e_clip": 0.2, "clip_value": True, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 2.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "truncate_grads": True, "normalize_advantage": True,
+            "normalize_input": True, "normalize_value": True,
+            "bounds_loss_coef": 0.0001, "seed": 11,
+        },
+    }
+    agent = PPOAgent("arm", params)
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    first = None
+    m = None
+    for i in range(40):
+        state, m = fn(state)
+        if i == 4:
+            first = float(m["mean_rewards"][0])
+    last = float(m["mean_rewards"][0])
+    assert last > first + 15.0, (first, last)

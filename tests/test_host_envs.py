@@ -489,3 +489,66 @@ def test_multiwalker_vecenv_rows_and_autoreset():
         obs["obs"], infos["final_observation"]["obs"]
     )
     env.close()
+
+
+def test_connect4_selfplay_env_masks_and_weight_push():
+    """Connect4 self-play adapter: legal-move masks, ±1 terminal rewards,
+    seat alternation, and the SelfPlayManager weight-push path driving a
+    real policy opponent (reference ma/ppo_connect4_self_play.yaml's env
+    contract; the reference's own env module is out-of-tree)."""
+    pytest.importorskip("pettingzoo")
+    import yaml
+
+    from rl_games_tpu.envs.host.connect4_env import Connect4SelfPlayVecEnv
+
+    with open(
+        "rl_games_tpu/configs/ref/ma/ppo_connect4_self_play.yaml"
+    ) as f:
+        net_params = yaml.safe_load(f)["params"]
+
+    env = Connect4SelfPlayVecEnv(3, network_params=net_params, seed=11)
+    info = env.get_env_info()
+    assert info.observation_space.shape == (6, 7, 2)
+    assert info.action_space.n == 7
+
+    obs = env.reset()
+    assert obs.shape == (3, 6, 7, 2)
+    # seats alternate per episode: env 0 opens, so after its first reset
+    # the learner moved first; force episodes to conclude under random
+    # play and check rewards land in {-1, 0, 1}
+    rng = np.random.default_rng(0)
+    saw_done = False
+    for t in range(60):
+        masks = env.get_action_masks()
+        assert masks.shape == (3, 7) and masks.any(axis=1).all()
+        acts = np.array(
+            [rng.choice(np.nonzero(m)[0]) for m in masks]
+        )
+        obs, rewards, dones, infos = env.step(acts)
+        assert set(np.unique(rewards)).issubset({-1.0, 0.0, 1.0})
+        if dones.any():
+            saw_done = True
+            assert "final_observation" in infos
+    assert saw_done, "random play must finish games within 60 plies"
+
+    # push learner weights as opponent (builds the model, batched forward)
+    import jax
+    from rl_games_tpu.models import model_builder
+
+    model = model_builder.ModelBuilder().load(
+        net_params, actions_num=7, input_shape=(6, 7, 2), value_size=1,
+        normalize_input=False, normalize_value=False, obs_shape=(6, 7, 2),
+    )
+    params, norm = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 6, 7, 2), np.float32)
+    )
+    env.set_weights([0, 1], {"params": params, "norm": norm})
+    assert env._opp_version[0] > 0 and env._opp_version[2] == 0
+    # mixed random/policy opponents step without error
+    for t in range(8):
+        masks = env.get_action_masks()
+        acts = np.array(
+            [rng.choice(np.nonzero(m)[0]) for m in masks]
+        )
+        obs, rewards, dones, infos = env.step(acts)
+    env.close()

@@ -2,8 +2,10 @@
 loads through the Runner, builds its agent, and runs one (shrunk) epoch —
 proving the README's claim that reference configs map field-for-field.
 
-Atari configs are build-only (no ale_py in the image): the schema loads and
-the network builds + forwards at the Atari obs shape.
+External-simulator families (Atari/ale_py, StarCraft II, MuJoCo-Warp,
+ManiSkill, minigrid, MyoSuite, brax arm tasks — none in this image) are
+build-only: the schema loads and the network builds + forwards at a
+representative obs shape for its conv/mlp/rnn topology.
 """
 
 import glob
@@ -63,15 +65,30 @@ def _shrink(params):
     return params
 
 
+BUILD_ONLY_PREFIXES = ("atari", "smac", "minigrid", "mjlab", "maniskill")
+BUILD_ONLY_FILES = {
+    "ppo_myo.yaml", "ppo_smac.yaml",
+    os.path.join("brax", "ppo_grasp.yaml"),
+    os.path.join("brax", "ppo_ur5e.yaml"),
+}
+
+
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=IDS)
 def test_ref_config_smoke(path):
     from rl_games_tpu.runner import Runner
 
+    rel = os.path.relpath(path, CONFIG_ROOT)
     with open(path) as f:
         doc = yaml.safe_load(f)
+    if "env_configs" in rel:
+        # smac v2 env-parameter data files (unit distributions) — consumed
+        # by the smac_v2 binding, not training configs
+        assert isinstance(doc, dict) and "params" not in doc
+        return
     assert "params" in doc and "config" in doc["params"]
 
-    if _family(path) == "atari":
+    fam_root = _family(path).split(os.sep)[0]
+    if fam_root in BUILD_ONLY_PREFIXES or rel in BUILD_ONLY_FILES:
         _build_only(doc)
         return
 
@@ -88,19 +105,33 @@ def test_ref_config_smoke(path):
 
 
 def _build_only(doc):
-    """No ale_py in the image: prove the network side of the config builds
-    and forwards at the Atari obs shape (the env binding is exercised by
-    the wrapper-stack tests, tests/test_wrappers.py)."""
+    """Simulator not in the image: prove the network side of the config
+    builds and forwards at a representative obs shape for its topology
+    (conv2d → image planes, conv1d → stacked-feature frames, mlp → flat)."""
     import jax
     import jax.numpy as jnp
 
     from rl_games_tpu.models import model_builder
 
     params = doc["params"]
-    obs_shape = (84, 84, 4)
+    net = params.get("network", {})
+    cnn_type = (net.get("cnn") or {}).get("type")
+    if cnn_type == "conv1d":
+        obs_shape = (16, 32)  # [frames*feat, channel] smac layout
+    elif cnn_type == "conv2d" or net.get("name") == "resnet_actor_critic":
+        obs_shape = (84, 84, 4)
+    else:
+        obs_shape = (96,)
+    model_name = params.get("model", {}).get("name", "")
+    if "multi_discrete" in model_name:
+        actions_num = [3, 3]
+    elif "continuous" in model_name or "sac" in model_name:
+        actions_num = 8
+    else:
+        actions_num = 6
     model = model_builder.ModelBuilder().load(
         params,
-        actions_num=6,
+        actions_num=actions_num,
         input_shape=obs_shape,
         value_size=1,
         normalize_input=params["config"].get("normalize_input", False),

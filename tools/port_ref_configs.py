@@ -48,6 +48,7 @@ PORTS = {
         ("test_asymmetric_discrete.yaml", "test"),
         ("test_asymmetric_discrete_mhv.yaml", "test"),
         ("test_discrite_testnet_aux_loss.yaml", "test_auxnet"),
+        ("test_asymmetric_discrete_mhv_mops.yaml", "test_mops"),
         ("test_ppo_walker_truncated_time.yaml", "gym"),
     ],
     "atari": [
@@ -66,6 +67,60 @@ PORTS = {
         ("ppo_halfcheetah.yaml", "cheetah2d"),
         ("ppo_humanoid.yaml", "walker2d"),
         ("sac_humanoid.yaml", "walker2d"),
+        ("ppo_ur5e.yaml", "arm2d"), ("ppo_grasp.yaml", "keep"),
+    ],
+    # external-simulator families (StarCraft II, MuJoCo-Warp, ManiSkill,
+    # MyoSuite, minigrid, brax arm tasks): hyperparameter/network schemas
+    # port verbatim ('keep'); the smoke test builds + forwards the network
+    # at representative shapes (the simulators are not in this image)
+    "smac/v1": [
+        (f, "keep") for f in (
+            "10m_vs_11m_torch.yaml", "27m_vs_30m_cv.yaml",
+            "27m_vs_30m_torch.yaml", "2m_vs_1z.yaml", "2m_vs_1z_torch.yaml",
+            "2s_vs_1c.yaml", "3m_cnn_torch.yaml", "3m_torch.yaml",
+            "3m_torch_cv.yaml", "3m_torch_cv_joint.yaml",
+            "3m_torch_cv_rnn.yaml", "3m_torch_rnn.yaml", "3m_torch_sa.yaml",
+            "3m_torch_sparse.yaml", "3s5z_vs_3s6z_torch.yaml",
+            "3s5z_vs_3s6z_torch_cv.yaml", "3s_vs_4z.yaml", "3s_vs_5z.yaml",
+            "3s_vs_5z_cv.yaml", "3s_vs_5z_cv_rnn.yaml",
+            "3s_vs_5z_torch_lstm.yaml", "3s_vs_5z_torch_lstm2.yaml",
+            "5m_vs_6m_rnn.yaml", "5m_vs_6m_rnn_cv.yaml", "5m_vs_6m_sa.yaml",
+            "5m_vs_6m_torch.yaml", "6h_vs_8z_torch.yaml",
+            "6h_vs_8z_torch_cv.yaml", "8m_torch.yaml", "8m_torch_cv.yaml",
+            "MMM2_torch.yaml", "corridor_torch.yaml",
+            "corridor_torch_cv.yaml",
+        )
+    ],
+    "smac/v1/runs": [
+        (f, "keep") for f in (
+            "2c_vs_64zg.yaml", "2c_vs_64zg_neg.yaml", "2s3z.yaml",
+            "2s3z_neg.yaml", "2s_vs_1c.yaml", "2s_vs_1c_neg.yaml",
+            "3s5z.yaml", "3s5z_neg.yaml", "3s_vs_5z.yaml",
+            "3s_vs_5z_neg.yaml", "3s_vs_5z_neg_joint.yaml", "6h_vs_8z.yaml",
+            "6h_vs_8z_neg.yaml", "6h_vs_8z_rnn.yaml", "MMM2.yaml",
+            "MMM2_conv1d.yaml", "MMM2_neg.yaml", "MMM2_rnn.yaml",
+            "bane_vs_bane.yaml", "bane_vs_bane_neg.yaml", "corridor_cv.yaml",
+            "corridor_cv_neg.yaml",
+        )
+    ],
+    "smac/v2": [
+        ("protos_5_v_5.yaml", "keep"), ("terran_5_v_5.yaml", "keep"),
+        ("zerg_5_v_5.yaml", "keep"),
+    ],
+    "minigrid": [
+        ("lava_rnn_img.yaml", "keep"), ("minigrid_rnn_img.yaml", "keep"),
+    ],
+    "mjlab": [
+        ("ppo_g1_velocity.yaml", "keep"), ("ppo_go1_velocity.yaml", "keep"),
+        ("ppo_lift_cube_yam.yaml", "keep"),
+        ("ppo_wujihand_reorient.yaml", "keep"),
+    ],
+    "maniskill": [
+        ("ppo_ant.yaml", "keep"), ("ppo_pick_cube_state.yaml", "keep"),
+    ],
+    "ma": [
+        ("ppo_connect4_self_play.yaml", "connect4"),
+        ("ppo_connect4_self_play_resnet.yaml", "connect4"),
     ],
     "pufferlib": [
         # the reference's pufferlib backend is a process-pool around the
@@ -101,6 +156,8 @@ PORTS = {
         ("ppo_multiwalker.yaml", "multiwalker"),
         ("ppo_pendulum_torch.yaml", "gym"),
         ("ppo_reacher.yaml", "gym"),
+        ("ppo_myo.yaml", "keep"),
+        ("ppo_smac.yaml", "keep"),
     ],
 }
 
@@ -132,7 +189,9 @@ def port_one(src, kind):
     player.pop("render", None)
 
     env_name = str(cfg.get("env_name", "")).strip()
-    if kind == "gym":
+    if kind == "keep":
+        pass  # external-simulator binding preserved verbatim
+    elif kind == "gym":
         # backend names (gymnasium/envpool/ray wrappers) carry the real id
         # in env_config (as env_name or name); direct gym ids stay as-is
         gym_id = (
@@ -178,11 +237,22 @@ def port_one(src, kind):
             env_cfg["use_central_value"] = True
             env_cfg.setdefault("hide_object", False)
     elif kind == "test_asym_cont":
-        # the continuous asymmetric fixture binds to the velocity-masked
-        # CartPole-based AsymmetricEnv's continuous sibling: use Pendulum
-        # over the host bridge with central value dropped to plain PPO —
-        # the reference fixture has no continuous device analog yet
-        return None
+        # continuous asymmetric fixture: velocity-masked Pendulum with the
+        # full state to the central critic (test_envs.ContinuousAsymmetricEnv,
+        # the reference's TestAsymmetricCritic role)
+        cfg["env_name"] = "test_asymmetric_continuous_env"
+        cfg.pop("vecenv_type", None)
+        env_cfg = {}
+    elif kind == "test_mops":
+        # multi-obs-space fixture: the reference's custom 'testnet' dict-obs
+        # network maps to the in-tree testnet_dict plugin; the dict-obs
+        # memory env has no central state, so the central-value block drops
+        # (the reference's own env only emits one when use_central_value)
+        cfg["env_name"] = "test_dict_obs_env"
+        env_cfg = {}
+        cfg.pop("central_value_config", None)
+        p["network"] = {"name": "testnet_dict"}
+        cfg["import_modules"] = ["rl_games_tpu.models.test_network"]
     elif kind == "test_auxnet":
         cfg["env_name"] = "test_dict_obs_env"
         env_cfg = {"aux_loss": True}
@@ -195,6 +265,20 @@ def port_one(src, kind):
         cfg["env_name"] = env_cfg.pop("env_name")
         cfg["vecenv_type"] = "DMCONTROL"
         env_cfg.pop("flatten_obs", None)
+    elif kind == "connect4":
+        # env module is out-of-tree in the reference; binds to the
+        # pettingzoo connect_four_v3 self-play adapter here. config_path
+        # points at the ported YAML so the embedded opponent builds the
+        # same network (the reference config carries its own path the
+        # same way).
+        env_cfg.pop("name", None)
+        env_cfg["config_path"] = (
+            "rl_games_tpu/configs/ref/ma/" + os.path.basename(src)
+        )
+        if p.get("network", {}).get("name") == "connect4net":
+            # the reference's out-of-tree custom net, in-tree here as a
+            # plugin module (models/connect4_network.py)
+            cfg["import_modules"] = ["rl_games_tpu.models.connect4_network"]
     elif kind == "multiwalker":
         # binds to the in-tree pettingzoo adapter; env_config keys
         # (central_value, use_prev_actions, apply_agent_ids) pass through.
@@ -225,6 +309,12 @@ def port_one(src, kind):
         cfg["env_name"] = "Cheetah2D"
         cfg.pop("vecenv_type", None)
         env_cfg = {}
+    elif kind == "arm2d":
+        # brax ur5e = fixed-base arm reach task -> the planar arm device
+        # env on the same Lagrangian machinery (envs/jax/arm2d.py)
+        cfg["env_name"] = "Arm2D"
+        cfg.pop("vecenv_type", None)
+        env_cfg = {}
     elif kind == "walker2d":
         # brax humanoid's balance-class role maps to the planar upright
         # biped (locomotion2d.Walker2D)
@@ -234,9 +324,17 @@ def port_one(src, kind):
     elif kind == "masked_velocity":
         cfg["env_name"] = "CartPoleMaskedVelocity-v1"
         cfg.pop("vecenv_type", None)
-    # legacy model/schema names
-    if p.get("model", {}).get("name") == "continuous_a2c_lstm_logstd":
-        p["model"]["name"] = "continuous_a2c_logstd"
+    # legacy model/schema names: the pre-1.0 *_lstm model variants fold
+    # into the base model + an rnn network block
+    LEGACY_MODELS = {
+        "continuous_a2c_lstm_logstd": "continuous_a2c_logstd",
+        "continuous_a2c_lstm": "continuous_a2c",
+        "discrete_a2c_lstm": "discrete_a2c",
+        "multi_discrete_a2c_lstm": "multi_discrete_a2c",
+    }
+    model_name = p.get("model", {}).get("name")
+    if model_name in LEGACY_MODELS:
+        p["model"]["name"] = LEGACY_MODELS[model_name]
         lstm = p["network"].pop("lstm", None)
         if lstm and "rnn" not in p["network"]:
             p["network"]["rnn"] = {
@@ -269,6 +367,22 @@ def main():
             with open(out, "w") as f:
                 f.write(header + yaml.safe_dump(d, sort_keys=False))
             count += 1
+    # smac v2 auxiliary env-parameter files (unit/position distributions the
+    # v2 training configs point at) — schema data, re-emitted with headers
+    ec_src = os.path.join(REF, "smac", "v2", "env_configs")
+    ec_out = os.path.join(OUT, "smac", "v2", "env_configs")
+    os.makedirs(ec_out, exist_ok=True)
+    for fname in sorted(os.listdir(ec_src)):
+        with open(os.path.join(ec_src, fname)) as f:
+            data = yaml.safe_load(f)
+        header = (
+            f"# SMACv2 env-parameter file (reference "
+            f"rl_games/configs/smac/v2/env_configs/{fname}) — capability/"
+            f"position distribution data consumed by the smac_v2 binding.\n"
+        )
+        with open(os.path.join(ec_out, fname), "w") as f:
+            f.write(header + yaml.safe_dump(data, sort_keys=False))
+        count += 1
     print(f"ported {count} configs -> {OUT}")
 
 
