@@ -35,6 +35,9 @@ class BasePlayer:
             "deterministic", player_cfg.get("determenistic", True)
         )
         self.seed = config.get("seed", 7)
+        # masked-action inference (players.py get_masked_action, the
+        # reference's use_action_masks play path)
+        self.use_action_masks = config.get("use_action_masks", False)
 
         if vec_env is not None:
             self.vec_env = vec_env
@@ -172,7 +175,12 @@ class BasePlayer:
         steps = 0
         while len(returns) < games_num and steps < self.max_steps:
             rng, akey = jax.random.split(rng)
-            actions = act_fn(akey, obs)
+            if self.use_action_masks:
+                actions = act_fn(
+                    akey, obs, jnp.asarray(self.vec_env.get_action_masks())
+                )
+            else:
+                actions = act_fn(akey, obs)
             next_obs, rewards, dones, infos = self.vec_env.step(
                 np.asarray(actions)
             )
@@ -192,17 +200,19 @@ class BasePlayer:
         if self.player_cfg.get("evaluation"):
             self.maybe_load_new_checkpoint()
         if self.is_host_env:
-            jit_act = jax.jit(
-                lambda p, nm, k, o: self._env_actions(
+            def fwd(p, nm, k, o, masks=None):
+                kwargs = {} if masks is None else {"action_masks": masks}
+                return self._env_actions(
                     self.model.forward_play(
                         p, nm, k, self._actor_obs(o),
-                        deterministic=self.deterministic,
+                        deterministic=self.deterministic, **kwargs,
                     )["actions"]
                 )
-            )
+
+            jit_act = jax.jit(fwd)
             return self._host_run(
                 games_num,
-                lambda k, o: jit_act(self.net_params, self.norm, k, o),
+                lambda k, o, *m: jit_act(self.net_params, self.norm, k, o, *m),
             )
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
@@ -213,9 +223,14 @@ class BasePlayer:
         def step(carry, _):
             env_state, obs, rng, cur_rew, meters = carry
             rng, akey = jax.random.split(rng)
+            mask_kwargs = {}
+            if self.use_action_masks:
+                mask_kwargs["action_masks"] = self.vec_env.get_action_masks(
+                    env_state
+                )
             res = self.model.forward_play(
                 self.net_params, self.norm, akey, self._actor_obs(obs),
-                deterministic=self.deterministic,
+                deterministic=self.deterministic, **mask_kwargs,
             )
             env_state, obs, rewards, dones, infos = self.vec_env.step(
                 env_state, self._env_actions(res["actions"])

@@ -148,3 +148,131 @@ class Arm2D(JaxEnv):
             - self.ctrl_cost * jnp.sum(jnp.square(action))
         )
         return state, self._obs(state), reward, jnp.asarray(False), {}
+
+
+@struct.dataclass
+class GraspState:
+    q: jnp.ndarray        # [n] joint angles
+    qd: jnp.ndarray       # [n]
+    obj: jnp.ndarray      # [2] object position
+    objd: jnp.ndarray     # [2] object velocity
+    target: jnp.ndarray   # [2] place target
+    held: jnp.ndarray     # [] bool — object latched to the gripper
+
+
+class Grasp2D(Arm2D):
+    """Planar pick-and-place (brax 'grasp' task analog: a claw must grab an
+    object and move it to a target, configs/brax/ppo_grasp.yaml).
+
+    Same Lagrangian arm as Arm2D plus a free object: the last action channel
+    is the gripper; closing it within ``grab_radius`` of the object latches
+    the object to the end effector (kinematic grasp — the brax env's claw
+    contact role), opening releases it into free fall. Reward shapes
+    approach → grasp → carry: -dist(ee, obj) while free,
+    -dist(obj, target) + carry bonus while held, + place bonus when the
+    held object reaches the target.
+    """
+
+    max_episode_steps = 200
+
+    def __init__(self, grab_radius=0.12, place_radius=0.1,
+                 carry_bonus=0.5, place_bonus=4.0, **kw):
+        super().__init__(**kw)
+        self.grab_radius = float(grab_radius)
+        self.place_radius = float(place_radius)
+        self.carry_bonus = float(carry_bonus)
+        self.place_bonus = float(place_bonus)
+        # obs: arm (sin q, cos q, qd) + ee + obj + objd + target + held
+        self.obs_dim = 3 * self.n + 9
+
+    def env_info(self):
+        return EnvInfo(
+            observation_space=Box(shape=(self.obs_dim,)),
+            # n joint torques + 1 gripper channel
+            action_space=Box(shape=(self.n + 1,), low=-1.0, high=1.0),
+        )
+
+    def _obs(self, state: GraspState):
+        _, _, ee = self._frames(state.q)
+        return jnp.concatenate(
+            [
+                jnp.sin(state.q),
+                jnp.cos(state.q),
+                jnp.clip(state.qd, -20.0, 20.0),
+                ee,
+                state.obj - ee,
+                jnp.clip(state.objd, -10.0, 10.0),
+                state.target - state.obj,
+                state.held.astype(jnp.float32)[None],
+            ]
+        )
+
+    @property
+    def _floor(self):
+        # virtual table comfortably inside the workspace so dropped
+        # objects stay reachable
+        return -0.5 * self.reach
+
+    def reset(self, key):
+        kq, ko, kt = jax.random.split(key, 3)
+        q = 0.1 * jax.random.normal(kq, (self.n,))
+        # object rests on the table at a random reachable x
+        ox = jax.random.uniform(
+            ko, (), minval=-0.7 * self.reach, maxval=0.7 * self.reach
+        )
+        obj = jnp.stack([ox, jnp.asarray(self._floor)])
+        # place target in the reachable upper half-plane
+        target = self._sample_target(kt)
+        target = target.at[1].set(jnp.abs(target[1]))
+        state = GraspState(
+            q=q, qd=jnp.zeros(self.n), obj=obj, objd=jnp.zeros(2),
+            target=target, held=jnp.asarray(False),
+        )
+        return state, self._obs(state)
+
+    def step(self, estate: GraspState, action, key):
+        action = jnp.clip(action, -1.0, 1.0)
+        tau_a, grip = action[: self.n], action[self.n]
+        q, qd = estate.q, estate.qd
+        h = self.dt / self.substeps
+
+        def substep(carry, _):
+            q, qd = carry
+            qdd = self._qdd(q, qd, tau_a)
+            qd = jnp.clip(qd + h * qdd, -30.0, 30.0)
+            q = q + h * qd
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
+        _, _, ee = self._frames(q)
+
+        # grasp latch: closing the gripper near the object grabs it;
+        # opening releases it (kinematic — the claw-contact role)
+        near = jnp.linalg.norm(estate.obj - ee) < self.grab_radius
+        want_hold = grip > 0.0
+        held = want_hold & (estate.held | near)
+        # held object rides the end effector; free object is a point mass
+        # under gravity, resting on the virtual table at y = -reach
+        free_objd = estate.objd + self.dt * jnp.asarray([0.0, -self.g])
+        free_obj = estate.obj + self.dt * free_objd
+        floor = self._floor
+        bounced = free_obj[1] < floor
+        free_obj = free_obj.at[1].max(floor)
+        free_objd = jnp.where(
+            bounced, free_objd * jnp.asarray([0.8, 0.0]), free_objd
+        )
+        obj = jnp.where(held, ee, free_obj)
+        objd = jnp.where(held, jnp.zeros(2), free_objd)
+
+        d_obj = jnp.linalg.norm(obj - ee)
+        d_target = jnp.linalg.norm(obj - estate.target)
+        placed = held & (d_target < self.place_radius)
+        reward = (
+            jnp.where(held, -d_target + self.carry_bonus, -d_obj)
+            + self.place_bonus * placed
+            - self.ctrl_cost * jnp.sum(jnp.square(tau_a))
+        )
+        state = GraspState(
+            q=q, qd=qd, obj=obj, objd=objd, target=estate.target, held=held,
+        )
+        return state, self._obs(state), reward, jnp.asarray(False), {}

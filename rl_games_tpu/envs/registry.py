@@ -130,6 +130,15 @@ def _create_arm2d(**kwargs):
 
 register("Arm2D", {"vecenv_type": "JAX", "env_creator": _create_arm2d})
 
+
+def _create_grasp2d(**kwargs):
+    from rl_games_tpu.envs.jax.arm2d import Grasp2D
+
+    return Grasp2D(**kwargs)
+
+
+register("Grasp2D", {"vecenv_type": "JAX", "env_creator": _create_grasp2d})
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---

@@ -552,3 +552,27 @@ def test_connect4_selfplay_env_masks_and_weight_push():
         )
         obs, rewards, dones, infos = env.step(acts)
     env.close()
+
+
+def test_ppo_player_masked_connect4():
+    """--play path on the masked connect4 self-play env: the player must
+    sample only legal columns (players.py get_masked_action role) and
+    complete games (an illegal move would crash pettingzoo)."""
+    pytest.importorskip("pettingzoo")
+    import yaml
+
+    from rl_games_tpu.common.player import PpoPlayer
+
+    with open(
+        "rl_games_tpu/configs/ref/ma/ppo_connect4_self_play.yaml"
+    ) as f:
+        params = yaml.safe_load(f)["params"]
+    cfg = params["config"]
+    cfg["num_actors"] = 2
+    cfg["player"] = {
+        "games_num": 3, "max_steps": 200, "deterministic": False,
+    }
+    player = PpoPlayer(params)
+    assert player.is_host_env and player.use_action_masks
+    reward = player.run()
+    assert -1.0 <= reward <= 1.0

@@ -67,7 +67,7 @@ PORTS = {
         ("ppo_halfcheetah.yaml", "cheetah2d"),
         ("ppo_humanoid.yaml", "walker2d"),
         ("sac_humanoid.yaml", "walker2d"),
-        ("ppo_ur5e.yaml", "arm2d"), ("ppo_grasp.yaml", "keep"),
+        ("ppo_ur5e.yaml", "arm2d"), ("ppo_grasp.yaml", "grasp2d"),
     ],
     # external-simulator families (StarCraft II, MuJoCo-Warp, ManiSkill,
     # MyoSuite, minigrid, brax arm tasks): hyperparameter/network schemas
@@ -313,6 +313,11 @@ def port_one(src, kind):
         # brax ur5e = fixed-base arm reach task -> the planar arm device
         # env on the same Lagrangian machinery (envs/jax/arm2d.py)
         cfg["env_name"] = "Arm2D"
+        cfg.pop("vecenv_type", None)
+        env_cfg = {}
+    elif kind == "grasp2d":
+        # brax grasp = claw pick-and-place -> the planar grasp device env
+        cfg["env_name"] = "Grasp2D"
         cfg.pop("vecenv_type", None)
         env_cfg = {}
     elif kind == "walker2d":
