@@ -139,6 +139,20 @@ def _create_grasp2d(**kwargs):
 
 register("Grasp2D", {"vecenv_type": "JAX", "env_creator": _create_grasp2d})
 
+
+def _create_pixel_catcher(**kwargs):
+    from rl_games_tpu.envs.jax.pixel import PixelCatcher
+
+    return PixelCatcher(**kwargs)
+
+
+# device-resident pixel env: the in-tree CNN-path learning fixture (the
+# Atari/envpool role for images; envs/jax/pixel.py)
+register(
+    "PixelCatcher-v0",
+    {"vecenv_type": "JAX", "env_creator": _create_pixel_catcher},
+)
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---
