@@ -285,6 +285,7 @@ class SACPlayer(BasePlayer):
         self.max_steps = player_cfg.get("max_steps", 27000)
         self.deterministic = player_cfg.get("deterministic", True)
         self.seed = config.get("seed", 7)
+        self.use_action_masks = False  # SAC is continuous-only
 
         if vec_env is not None:
             self.vec_env = vec_env
