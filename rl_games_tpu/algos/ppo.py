@@ -1583,6 +1583,18 @@ class PPOAgent:
             if load_critic_only:
                 # critic warm-start (torch_runner.py:46-49)
                 state = self.restore_central_value_only(checkpoint, state)
+            elif checkpoint.endswith((".pth", ".pt")):
+                # reference torch checkpoint: import weights + normalizers
+                # as a warm start (utils/torch_import)
+                from rl_games_tpu.utils.torch_import import (
+                    import_a2c_checkpoint,
+                )
+
+                p, n = import_a2c_checkpoint(
+                    checkpoint, state.params, state.norm,
+                    self.full_params["network"], self.obs_shape,
+                )
+                state = state.replace(params=p, norm=n)
             else:
                 state, meta = ckpt.load_checkpoint(checkpoint, state)
                 last_mean_rewards = meta.get(

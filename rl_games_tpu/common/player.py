@@ -75,7 +75,17 @@ class BasePlayer:
         self.net_params, self.norm = self.model.init(rng, example)
 
     def restore(self, checkpoint_path: str):
-        """players.py:71-79 — load model weights from a training checkpoint."""
+        """players.py:71-79 — load model weights from a training checkpoint.
+        Reference torch checkpoints (.pth/.pt) import transparently
+        (utils/torch_import)."""
+        if checkpoint_path.endswith((".pth", ".pt")):
+            from rl_games_tpu.utils.torch_import import import_a2c_checkpoint
+
+            self.net_params, self.norm = import_a2c_checkpoint(
+                checkpoint_path, self.net_params, self.norm,
+                self.params["network"], self.obs_shape,
+            )
+            return
         example = {"params": self.net_params, "norm": self.norm}
         payload, _ = ckpt.load_checkpoint_weights(checkpoint_path, example)
         self.net_params = payload["params"]

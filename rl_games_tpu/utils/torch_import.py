@@ -1,0 +1,342 @@
+"""Import reference (PyTorch rl_games) checkpoints into this framework.
+
+The migration path for reference users: a `.pth` checkpoint produced by the
+reference trainer (torch_ext.save_checkpoint, algos_torch/torch_ext.py —
+``{'model': state_dict, 'epoch': ..., ...}``) converts into this framework's
+(net_params, norm) pair for the same YAML network config, so trained policies
+carry over without retraining. Conversion is **target-driven**: we walk OUR
+parameter tree and pull each leaf from the torch state dict, so any unconsumed
+or missing tensor is a hard error, never a silent mis-load.
+
+Covered: the A2CBuilder family (algos_torch/network_builder.py:120-320) with
+MLP torsos (shared or separate trunks), plain conv2d stacks, continuous
+logstd heads (fixed or state-dependent sigma), discrete / multi-discrete
+logits, and the RunningMeanStd input/value normalizers
+(running_mean_std.py:48-75). Layout transforms:
+
+* ``nn.Linear.weight`` [out, in] → flax ``Dense.kernel`` [in, out] (transpose);
+* ``nn.Conv2d.weight`` [O, I, kH, kW] → flax ``Conv.kernel`` [kH, kW, I, O];
+* the first Linear after a conv stack additionally needs its input columns
+  re-ordered: the reference flattens NCHW activations (c, h, w row-major,
+  network_builder.py:92) while this framework flattens NHWC (h, w, c) —
+  the spatial dims are recomputed from the conv arithmetic to build the
+  permutation;
+* ``torch.compile``'s ``_orig_mod.`` prefixes are stripped, like the
+  reference's own checkpoint loader does (torch_ext.py load_checkpoint).
+
+Not covered (clear errors): RNN cores, d2rl concat torsos, impala towers,
+dict-observation normalizers, SAC checkpoints.
+"""
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference checkpoint file → flat {name: np.ndarray}."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "model" in raw and isinstance(
+        raw["model"], dict
+    ):
+        raw = raw["model"]
+    return flatten_state_dict(raw)
+
+
+def flatten_state_dict(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("_orig_mod.", "")
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _conv_out_hw(h: int, w: int, convs) -> Tuple[int, int]:
+    """Spatial dims after the reference conv stack (VALID + explicit int
+    padding, network_builder.py _build_cnn)."""
+    for c in convs:
+        k = int(c["kernel_size"])
+        s = int(c["strides"])
+        p = int(c.get("padding", 0))
+        h = (h + 2 * p - k) // s + 1
+        w = (w + 2 * p - k) // s + 1
+    return h, w
+
+
+def _nchw_to_nhwc_columns(weight: np.ndarray, h: int, w: int,
+                          ch: int) -> np.ndarray:
+    """Reorder a [out, C*H*W] Linear weight's input columns from the
+    reference's NCHW flatten to this framework's NHWC flatten, then
+    transpose to a flax kernel [H*W*C, out]."""
+    assert weight.shape[1] == ch * h * w, (
+        f"flatten size mismatch: weight in={weight.shape[1]} vs "
+        f"C*H*W={ch}*{h}*{w}"
+    )
+    # our flat index (h, w, c) -> torch column c*H*W + h*W + w
+    hh, ww, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+    )
+    perm = (cc * h * w + hh * w + ww).reshape(-1)
+    return weight[:, perm].T
+
+
+class _TorchSide:
+    """Indexes the torch state dict by module group; tracks consumption."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.consumed = set()
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(
+                f"torch checkpoint is missing '{key}' "
+                f"(have: {sorted(self.sd)[:12]}...)"
+            )
+        self.consumed.add(key)
+        return self.sd[key]
+
+    def seq_layers(self, prefix: str):
+        """[(weight, bias)] of `a2c_network.<prefix>.<idx>` sorted by idx."""
+        idxs = set()
+        full = f"a2c_network.{prefix}."
+        for k in self.sd:
+            if k.startswith(full) and k.endswith(".weight"):
+                idxs.add(int(k[len(full):].split(".")[0]))
+        return [
+            (
+                self.take(f"{full}{i}.weight"),
+                self.take(f"{full}{i}.bias"),
+            )
+            for i in sorted(idxs)
+        ]
+
+    def leftovers(self):
+        skip_norm = ("running_mean_std.", "value_mean_std.")
+        return [
+            k
+            for k in self.sd
+            if k not in self.consumed and not k.startswith(skip_norm)
+        ]
+
+
+def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
+    for k in sd:
+        lk = k.lower()
+        if any(t in lk for t in ("rnn", "lstm", "gru")):
+            raise NotImplementedError(
+                "torch-checkpoint import does not cover RNN cores "
+                f"(found '{k}')"
+            )
+        if "running_mean_std.running_mean_std" in k:
+            raise NotImplementedError(
+                "dict-observation normalizers are not covered by the "
+                "torch-checkpoint importer"
+            )
+    if network_cfg.get("mlp", {}).get("d2rl"):
+        raise NotImplementedError(
+            "d2rl torsos are not covered by the torch-checkpoint importer"
+        )
+    if network_cfg.get("cnn", {}).get("type") == "impala":
+        raise NotImplementedError(
+            "impala towers are not covered by the torch-checkpoint importer"
+        )
+
+
+def _assign(dst: dict, path: Tuple[str, ...], value: np.ndarray):
+    cur = dst
+    for p in path[:-1]:
+        cur = cur[p]
+    old = cur[path[-1]]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: model expects "
+            f"{tuple(old.shape)}, checkpoint provides {tuple(value.shape)}"
+        )
+    import jax.numpy as jnp
+
+    cur[path[-1]] = jnp.asarray(value, old.dtype)
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def convert_a2c_state_dict(
+    sd: Dict[str, np.ndarray],
+    net_params: Any,
+    norm: Any,
+    network_cfg: dict,
+    input_shape,
+) -> Tuple[Any, Any]:
+    """(torch state dict, our example (net_params, norm)) → imported pair.
+
+    `network_cfg` is the YAML ``params['network']`` dict; `input_shape` the
+    observation shape (H, W, C) for conv nets, (D,) otherwise.
+    """
+    _check_unsupported(sd, network_cfg)
+    src = _TorchSide(sd)
+    params = _to_mutable(net_params)
+    body = params["params"]
+
+    convs = network_cfg.get("cnn", {}).get("convs")
+    flat_hw = None
+    if convs:
+        h, w = int(input_shape[0]), int(input_shape[1])
+        flat_hw = _conv_out_hw(h, w, convs) + (int(convs[-1]["filters"]),)
+
+    def fill_mlp(name: str):
+        if name not in body:
+            return
+        layers = src.seq_layers(name)
+        dense_names = sorted(
+            body[name], key=lambda s: int(s.rsplit("_", 1)[1])
+        )
+        if len(layers) != len(dense_names):
+            raise ValueError(
+                f"{name}: torch checkpoint has {len(layers)} Linear layers, "
+                f"model expects {len(dense_names)}"
+            )
+        for i, (dn, (wt, bs)) in enumerate(zip(dense_names, layers)):
+            # the first Linear after a conv stack consumes flattened
+            # activations -> needs the NCHW->NHWC column permutation
+            cnn_feeds = flat_hw is not None and i == 0
+            if cnn_feeds:
+                kern = _nchw_to_nhwc_columns(wt, *flat_hw)
+            else:
+                kern = wt.T
+            _assign(body, (name, dn, "Dense_0", "kernel"), kern)
+            _assign(body, (name, dn, "Dense_0", "bias"), bs)
+
+    def fill_cnn(name: str):
+        if name not in body:
+            return
+        layers = src.seq_layers(name)
+        conv_names = sorted(
+            body[name], key=lambda s: int(s.rsplit("_", 1)[1])
+        )
+        if len(layers) != len(conv_names):
+            raise ValueError(
+                f"{name}: torch checkpoint has {len(layers)} Conv layers, "
+                f"model expects {len(conv_names)}"
+            )
+        for cn, (wt, bs) in zip(conv_names, layers):
+            _assign(body, (name, cn, "kernel"), wt.transpose(2, 3, 1, 0))
+            _assign(body, (name, cn, "bias"), bs)
+
+    fill_cnn("actor_cnn")
+    fill_cnn("critic_cnn")
+    fill_mlp("actor_mlp")
+    fill_mlp("critic_mlp")
+
+    # named heads: mu / value (continuous); sigma leaf or head
+    for head in ("mu", "value"):
+        if head in body:
+            _assign(
+                body, (head, "Dense_0", "kernel"),
+                src.take(f"a2c_network.{head}.weight").T,
+            )
+            _assign(
+                body, (head, "Dense_0", "bias"),
+                src.take(f"a2c_network.{head}.bias"),
+            )
+    if "sigma" in body:
+        if isinstance(body["sigma"], dict):  # state-dependent sigma head
+            _assign(
+                body, ("sigma", "Dense_0", "kernel"),
+                src.take("a2c_network.sigma.weight").T,
+            )
+            _assign(
+                body, ("sigma", "Dense_0", "bias"),
+                src.take("a2c_network.sigma.bias"),
+            )
+        else:
+            _assign(body, ("sigma",), src.take("a2c_network.sigma"))
+
+    # discrete logits: our top-level Dense_i heads <- torch 'logits'
+    # (single Linear) or 'logits.<i>' (multi-discrete ModuleList)
+    logit_heads = sorted(
+        (k for k in body if k.startswith("Dense_")),
+        key=lambda s: int(s.rsplit("_", 1)[1]),
+    )
+    if logit_heads:
+        if "a2c_network.logits.weight" in src.sd:
+            if len(logit_heads) != 1:
+                raise ValueError(
+                    "model has multiple logits heads but checkpoint has one"
+                )
+            _assign(
+                body, (logit_heads[0], "Dense_0", "kernel"),
+                src.take("a2c_network.logits.weight").T,
+            )
+            _assign(
+                body, (logit_heads[0], "Dense_0", "bias"),
+                src.take("a2c_network.logits.bias"),
+            )
+        else:
+            for i, head in enumerate(logit_heads):
+                _assign(
+                    body, (head, "Dense_0", "kernel"),
+                    src.take(f"a2c_network.logits.{i}.weight").T,
+                )
+                _assign(
+                    body, (head, "Dense_0", "bias"),
+                    src.take(f"a2c_network.logits.{i}.bias"),
+                )
+
+    leftovers = src.leftovers()
+    if leftovers:
+        raise ValueError(
+            "torch checkpoint tensors with no destination in this model "
+            f"(config mismatch?): {leftovers}"
+        )
+
+    # normalizers (torch RunningMeanStd <-> ops/running_stats.py)
+    new_norm = norm
+    if norm is not None:
+        import jax.numpy as jnp
+
+        def rms_from(prefix, example):
+            return example.replace(
+                mean=jnp.asarray(
+                    sd[f"{prefix}.running_mean"], example.mean.dtype
+                ),
+                var=jnp.asarray(
+                    sd[f"{prefix}.running_var"], example.var.dtype
+                ),
+                count=jnp.asarray(
+                    sd[f"{prefix}.count"], example.count.dtype
+                ),
+            )
+
+        if getattr(norm, "obs", None) is not None and (
+            "running_mean_std.running_mean" in sd
+        ):
+            new_norm = new_norm.replace(
+                obs=rms_from("running_mean_std", norm.obs)
+            )
+        if getattr(norm, "value", None) is not None and (
+            "value_mean_std.running_mean" in sd
+        ):
+            new_norm = new_norm.replace(
+                value=rms_from("value_mean_std", norm.value)
+            )
+
+    return params, new_norm
+
+
+def import_a2c_checkpoint(
+    path: str, net_params: Any, norm: Any, network_cfg: dict, input_shape
+) -> Tuple[Any, Any]:
+    """One-call import: reference .pth → (net_params, norm) for this model."""
+    sd = load_torch_state_dict(path)
+    return convert_a2c_state_dict(
+        sd, net_params, norm, network_cfg, input_shape
+    )

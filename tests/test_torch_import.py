@@ -1,0 +1,255 @@
+"""Reference-checkpoint import: build the REAL reference torch model from the
+same YAML network config, convert its randomly-initialized state dict through
+utils/torch_import, and check forward outputs agree to float tolerance.
+
+This is the strongest possible parity proof for the migration path: the
+reference's own nn.Modules (algos_torch/network_builder.py) are the oracle.
+Skipped when torch or the read-only reference tree is unavailable."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+try:
+    from rl_games.algos_torch.model_builder import ModelBuilder as TorchBuilder
+except Exception:  # pragma: no cover - reference tree not mounted
+    pytest.skip("reference rl_games not importable", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from rl_games_tpu.models.model_builder import ModelBuilder
+from rl_games_tpu.utils.torch_import import (
+    convert_a2c_state_dict, flatten_state_dict,
+)
+
+
+def _torch_model(params_cfg, actions_num, input_shape, normalize_input,
+                 normalize_value, seed=0):
+    torch.manual_seed(seed)
+    net = TorchBuilder().load(params_cfg)
+    return net.build({
+        "actions_num": actions_num, "input_shape": input_shape,
+        "num_seqs": 1, "value_size": 1,
+        "normalize_value": normalize_value,
+        "normalize_input": normalize_input,
+    })
+
+
+def _ours(params_cfg, actions_num, input_shape, normalize_input,
+          normalize_value):
+    model = ModelBuilder().load(
+        params_cfg, actions_num=actions_num, input_shape=input_shape,
+        normalize_input=normalize_input, normalize_value=normalize_value,
+    )
+    obs = jnp.zeros((2,) + tuple(input_shape), jnp.float32)
+    net_params, norm = model.init(jax.random.PRNGKey(0), obs)
+    return model, net_params, norm
+
+
+def _torch_eval(tm, obs):
+    tm.eval()
+    with torch.no_grad():
+        return tm({
+            "is_train": False, "prev_actions": None,
+            "obs": torch.tensor(obs), "rnn_states": None,
+        })
+
+
+def mlp_continuous_cfg():
+    return {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [64, 32], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+    }
+
+
+def test_import_mlp_continuous_with_normalizers():
+    cfg = mlp_continuous_cfg()
+    tm = _torch_model(cfg, 3, (8,), True, True)
+    # non-trivial stats + sigma so the import is visible in outputs
+    with torch.no_grad():
+        tm.running_mean_std.running_mean.copy_(
+            torch.arange(8, dtype=torch.float64) * 0.3 - 1.0
+        )
+        tm.running_mean_std.running_var.copy_(
+            torch.linspace(0.5, 2.0, 8, dtype=torch.float64)
+        )
+        tm.running_mean_std.count.fill_(100.0)
+        tm.a2c_network.sigma.copy_(torch.tensor([-0.5, 0.1, 0.3]))
+
+    model, net_params, norm = _ours(cfg, 3, (8,), True, True)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (8,),
+    )
+
+    obs = np.random.default_rng(1).normal(size=(5, 8)).astype(np.float32)
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["mus"]), tres["mus"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["sigmas"]), tres["sigmas"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-5
+    )
+    # value normalizer stats came over
+    np.testing.assert_allclose(
+        np.asarray(new_norm.value.mean),
+        tm.value_mean_std.running_mean.numpy(), atol=1e-6,
+    )
+
+
+def test_import_separate_mlp_discrete():
+    cfg = {
+        "model": {"name": "discrete_a2c"},
+        "network": {"name": "actor_critic", "separate": True,
+                    "mlp": {"units": [32, 16], "activation": "relu",
+                            "initializer": {"name": "default"}},
+                    "space": {"discrete": {}}},
+    }
+    tm = _torch_model(cfg, 5, (8,), False, False, seed=3)
+    model, net_params, norm = _ours(cfg, 5, (8,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (8,),
+    )
+    obs = np.random.default_rng(2).normal(size=(7, 8)).astype(np.float32)
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    # ours returns normalized log-probs; log_softmax the torch logits
+    np.testing.assert_allclose(
+        np.asarray(ours["logits"]),
+        torch.log_softmax(tres["logits"], dim=-1).numpy(), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-5
+    )
+
+
+def test_import_cnn_discrete_nchw_flatten_permutation():
+    cfg = {
+        "model": {"name": "discrete_a2c"},
+        "network": {"name": "actor_critic", "separate": False,
+                    "cnn": {"type": "conv2d", "activation": "relu",
+                            "initializer": {"name": "default"},
+                            "convs": [
+                                {"filters": 8, "kernel_size": 4,
+                                 "strides": 2, "padding": 0},
+                                {"filters": 16, "kernel_size": 3,
+                                 "strides": 2, "padding": 0}]},
+                    "mlp": {"units": [32], "activation": "relu",
+                            "initializer": {"name": "default"}},
+                    "space": {"discrete": {}}},
+    }
+    shape = (16, 16, 3)
+    tm = _torch_model(cfg, 6, shape, False, False, seed=5)
+    model, net_params, norm = _ours(cfg, 6, shape, False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], shape,
+    )
+    obs = np.random.default_rng(4).normal(size=(3,) + shape).astype(
+        np.float32
+    )
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["logits"]),
+        torch.log_softmax(tres["logits"], dim=-1).numpy(), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-4
+    )
+
+
+def test_pth_restore_through_player_and_trainer(tmp_path):
+    """End-to-end .pth wiring: the reference checkpoint layout
+    ({'model': state_dict, 'epoch', ...}, torch_ext.py:90-92 +
+    a2c_common.py:693-696) restores through BasePlayer.restore and as a
+    PPO warm start."""
+    cfg = mlp_continuous_cfg()
+    tm = _torch_model(cfg, 1, (3,), True, True, seed=9)
+    path = str(tmp_path / "ref_ckpt.pth")
+    torch.save(
+        {"model": tm.state_dict(), "epoch": 3, "frame": 96,
+         "optimizer": {"ignored": True}, "last_mean_rewards": 1.0},
+        path,
+    )
+
+    config = {
+        "env_name": "Pendulum-v1", "num_actors": 4, "horizon_length": 8,
+        "minibatch_size": 32, "mini_epochs": 1, "learning_rate": 3e-4,
+        "e_clip": 0.2, "clip_value": True, "gamma": 0.99, "tau": 0.95,
+        "critic_coef": 1.0,
+        "entropy_coef": 0.0, "grad_norm": 1.0, "truncate_grads": True,
+        "normalize_input": True, "normalize_value": True,
+        "normalize_advantage": True, "value_bootstrap": True, "seed": 3,
+        "player": {"games_num": 2, "max_steps": 16},
+    }
+    params = {**cfg, "config": config}
+
+    from rl_games_tpu.common.player import PpoPlayer
+
+    player = PpoPlayer(params)
+    player.restore(path)
+    np.testing.assert_allclose(
+        np.asarray(player.net_params["params"]["sigma"]),
+        tm.a2c_network.sigma.detach().numpy(), atol=1e-6,
+    )
+
+    from rl_games_tpu.algos.ppo import PPOAgent
+
+    agent = PPOAgent("torch_warmstart", params)
+    state = agent.init_state()
+    from rl_games_tpu.utils.torch_import import import_a2c_checkpoint
+
+    newp, newn = import_a2c_checkpoint(
+        path, state.params, state.norm, cfg["network"], agent.obs_shape
+    )
+    state = state.replace(params=newp, norm=newn)
+    fn = agent.make_train_fn()
+    state, metrics = fn(state)  # trains from the imported weights
+    assert np.isfinite(float(metrics["a_loss"]))
+
+
+def test_import_rejects_unknown_and_mismatched():
+    cfg = mlp_continuous_cfg()
+    tm = _torch_model(cfg, 3, (8,), False, False)
+    model, net_params, norm = _ours(cfg, 3, (8,), False, False)
+    sd = flatten_state_dict(tm.state_dict())
+    sd["a2c_network.mystery.weight"] = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="no destination"):
+        convert_a2c_state_dict(sd, net_params, norm, cfg["network"], (8,))
+
+    sd = flatten_state_dict(tm.state_dict())
+    sd["a2c_network.rnn.weight_ih_l0"] = np.zeros((4, 4), np.float32)
+    with pytest.raises(NotImplementedError, match="RNN"):
+        convert_a2c_state_dict(sd, net_params, norm, cfg["network"], (8,))
