@@ -886,8 +886,36 @@ class SACAgent:
         state = self.init_state()
         last_mean_rewards = -100500.0
         if checkpoint:
-            state, meta = self._restore(checkpoint, state)
-            last_mean_rewards = meta.get("last_mean_rewards", last_mean_rewards)
+            if checkpoint.endswith((".pth", ".pt")):
+                # reference torch SAC checkpoint: import weights +
+                # normalizer as a warm start (utils/torch_import)
+                from rl_games_tpu.utils import torch_import as ti
+
+                raw = ti.load_torch_checkpoint_raw(checkpoint)
+                if "model" in raw and "actor" not in raw:
+                    raw = raw["model"]
+                a, c, t, rms = ti.convert_sac_weights(
+                    raw, state.actor_params, state.critic_params,
+                    state.critic_target_params, state.obs_rms,
+                )
+                state = state.replace(
+                    actor_params=a, critic_params=c,
+                    critic_target_params=(
+                        t if t is not None else state.critic_target_params
+                    ),
+                    obs_rms=rms,
+                )
+                if raw.get("log_alpha") is not None:
+                    state = state.replace(
+                        log_alpha=jnp.asarray(
+                            np.asarray(raw["log_alpha"]), jnp.float32
+                        ).reshape(()),
+                    )
+            else:
+                state, meta = self._restore(checkpoint, state)
+                last_mean_rewards = meta.get(
+                    "last_mean_rewards", last_mean_rewards
+                )
         if writer is None:
             writer = create_writer(summaries_dir)
         train_fn = self.make_train_fn(mesh=mesh)

@@ -340,3 +340,99 @@ def import_a2c_checkpoint(
     return convert_a2c_state_dict(
         sd, net_params, norm, network_cfg, input_shape
     )
+
+
+# ----------------------------------------------------------------------
+# SAC (sac_agent.py get_weights: {'actor', 'critic', 'critic_target',
+# 'running_mean_std'?, 'log_alpha'?, ...}; actor = trunk Sequential whose
+# LAST Linear is the (mu, log_std) head, network_builder.py:919-944;
+# critic = Q1/Q2 Sequentials, :947-969)
+# ----------------------------------------------------------------------
+
+def _fill_seq_module(body: dict, layers, trunk_name: str, head_name: str):
+    """torch Sequential Linears → our trunk Dense_i + separate head."""
+    trunk_layers, head_layer = layers[:-1], layers[-1]
+    dense_names = sorted(
+        body[trunk_name], key=lambda s: int(s.rsplit("_", 1)[1])
+    )
+    if len(trunk_layers) != len(dense_names):
+        raise ValueError(
+            f"{trunk_name}: torch checkpoint has {len(trunk_layers)} trunk "
+            f"Linears, model expects {len(dense_names)}"
+        )
+    for dn, (wt, bs) in zip(dense_names, trunk_layers):
+        _assign(body, (trunk_name, dn, "Dense_0", "kernel"), wt.T)
+        _assign(body, (trunk_name, dn, "Dense_0", "bias"), bs)
+    wt, bs = head_layer
+    _assign(body, (head_name, "Dense_0", "kernel"), wt.T)
+    _assign(body, (head_name, "Dense_0", "bias"), bs)
+
+
+def _seq_linears(sd: Dict[str, np.ndarray], prefix: str):
+    idxs = sorted({
+        int(k[len(prefix):].split(".")[0])
+        for k in sd
+        if k.startswith(prefix) and k.endswith(".weight")
+    })
+    if not idxs:
+        raise KeyError(f"no '{prefix}*' Linears in the torch checkpoint")
+    return [(sd[f"{prefix}{i}.weight"], sd[f"{prefix}{i}.bias"])
+            for i in idxs]
+
+
+def convert_sac_weights(
+    raw: dict, actor_params: Any, critic_params: Any,
+    critic_target_params: Any = None, obs_rms: Any = None,
+):
+    """Reference SAC checkpoint sections → our (actor_params,
+    critic_params, critic_target_params, obs_rms). `raw` is the loaded
+    .pth dict (full-state or get_weights layout)."""
+    actor_sd = flatten_state_dict(raw["actor"])
+    # keys may carry the 'sac_network.actor.' prefix when saved from the
+    # whole model instead of the submodule
+    def strip(sd, pre):
+        return {
+            (k[len(pre):] if k.startswith(pre) else k): v
+            for k, v in sd.items()
+        }
+
+    actor_sd = strip(actor_sd, "sac_network.actor.")
+    new_actor = _to_mutable(actor_params)
+    _fill_seq_module(
+        new_actor["params"], _seq_linears(actor_sd, "trunk."),
+        "trunk", "head",
+    )
+
+    def fill_critic(example, sd):
+        sd = strip(flatten_state_dict(sd), "sac_network.critic.")
+        sd = strip(sd, "sac_network.critic_target.")
+        new = _to_mutable(example)
+        for q in ("Q1", "Q2"):
+            _fill_seq_module(
+                new["params"], _seq_linears(sd, f"{q}."),
+                f"{q}_trunk", f"{q}_head",
+            )
+        return new
+
+    new_critic = fill_critic(critic_params, raw["critic"])
+    new_target = None
+    if critic_target_params is not None and "critic_target" in raw:
+        new_target = fill_critic(critic_target_params, raw["critic_target"])
+
+    new_rms = obs_rms
+    if obs_rms is not None and raw.get("running_mean_std") is not None:
+        import jax.numpy as jnp
+
+        rms_sd = flatten_state_dict(raw["running_mean_std"])
+        new_rms = obs_rms.replace(
+            mean=jnp.asarray(rms_sd["running_mean"], obs_rms.mean.dtype),
+            var=jnp.asarray(rms_sd["running_var"], obs_rms.var.dtype),
+            count=jnp.asarray(rms_sd["count"], obs_rms.count.dtype),
+        )
+    return new_actor, new_critic, new_target, new_rms
+
+
+def load_torch_checkpoint_raw(path: str) -> dict:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)

@@ -240,6 +240,128 @@ def test_pth_restore_through_player_and_trainer(tmp_path):
     assert np.isfinite(float(metrics["a_loss"]))
 
 
+def test_import_sac_checkpoint(tmp_path):
+    """SAC: the reference's get_weights sections ({'actor','critic',
+    'critic_target','running_mean_std'}, sac_agent.py:274-281) convert, and
+    the actor/critic forwards match the reference modules."""
+    net_cfg = {"name": "soft_actor_critic", "separate": True,
+               "space": {"continuous": None},
+               "mlp": {"units": [32, 32], "activation": "relu",
+                       "initializer": {"name": "default"}},
+               "log_std_bounds": [-5, 2]}
+    torch.manual_seed(11)
+    tnet = TorchBuilder().load({
+        "model": {"name": "soft_actor_critic"}, "network": net_cfg,
+    })
+    tm = tnet.build({"action_dim": 2, "obs_dim": 6, "actions_num": 2,
+                     "input_shape": (6,), "normalize_value": False,
+                     "normalize_input": True, "value_size": 1})
+    with torch.no_grad():
+        tm.running_mean_std.running_mean.copy_(
+            torch.arange(6, dtype=torch.float64) * 0.2
+        )
+        tm.running_mean_std.running_var.copy_(
+            torch.linspace(0.4, 1.6, 6, dtype=torch.float64)
+        )
+        tm.running_mean_std.count.fill_(64.0)
+    raw = {
+        "actor": tm.sac_network.actor.state_dict(),
+        "critic": tm.sac_network.critic.state_dict(),
+        "critic_target": tm.sac_network.critic_target.state_dict(),
+        "running_mean_std": tm.running_mean_std.state_dict(),
+        "log_alpha": torch.tensor(-1.5),
+        "epoch": 1,
+    }
+    path = str(tmp_path / "sac_ref.pth")
+    torch.save(raw, path)
+
+    from rl_games_tpu.models.sac import build_sac_networks
+    from rl_games_tpu.ops.running_stats import rms_init, rms_normalize
+    from rl_games_tpu.utils import torch_import as ti
+
+    actor, critic = build_sac_networks(net_cfg, 2)
+    obs0 = jnp.zeros((1, 6), jnp.float32)
+    act0 = jnp.zeros((1, 2), jnp.float32)
+    ap = actor.init(jax.random.PRNGKey(0), obs0)
+    cp = critic.init(jax.random.PRNGKey(0), obs0, act0)
+    rms = rms_init((6,))
+
+    loaded = ti.load_torch_checkpoint_raw(path)
+    new_a, new_c, new_t, new_rms = ti.convert_sac_weights(
+        loaded, ap, cp, cp, rms
+    )
+
+    obs = np.random.default_rng(6).normal(size=(4, 6)).astype(np.float32)
+    acts = np.random.default_rng(7).uniform(-1, 1, (4, 2)).astype(np.float32)
+    tm.eval()  # keep the torch RunningMeanStd from updating itself
+    with torch.no_grad():
+        tobs = tm.norm_obs(torch.tensor(obs))
+        dist = tm.sac_network.actor(tobs)
+        tq1, tq2 = tm.sac_network.critic(tobs, torch.tensor(acts))
+        gq1, gq2 = tm.sac_network.critic_target(tobs, torch.tensor(acts))
+
+    nobs = rms_normalize(new_rms, jnp.asarray(obs))
+    np.testing.assert_allclose(
+        np.asarray(nobs), tobs.numpy(), atol=1e-5
+    )
+    mu, std = actor.apply(new_a, nobs)
+    np.testing.assert_allclose(np.asarray(mu), dist.loc.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(std), dist.scale.numpy(), atol=1e-5
+    )
+    q1, q2 = critic.apply(new_c, nobs, jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(q1), tq1.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q2), tq2.numpy(), atol=1e-5)
+    t1, t2 = critic.apply(new_t, nobs, jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(t1), gq1.numpy(), atol=1e-5)
+
+def test_sac_pth_restores_through_player(tmp_path):
+    """SACPlayer.restore on a reference-layout .pth (Pendulum dims)."""
+    net_cfg = {"name": "soft_actor_critic", "separate": True,
+               "space": {"continuous": None},
+               "mlp": {"units": [16, 16], "activation": "relu",
+                       "initializer": {"name": "default"}},
+               "log_std_bounds": [-5, 2]}
+    torch.manual_seed(13)
+    tnet = TorchBuilder().load({
+        "model": {"name": "soft_actor_critic"}, "network": net_cfg,
+    })
+    tm = tnet.build({"action_dim": 1, "obs_dim": 3, "actions_num": 1,
+                     "input_shape": (3,), "normalize_value": False,
+                     "normalize_input": True, "value_size": 1})
+    path = str(tmp_path / "sac_pendulum.pth")
+    torch.save({
+        "actor": tm.sac_network.actor.state_dict(),
+        "critic": tm.sac_network.critic.state_dict(),
+        "critic_target": tm.sac_network.critic_target.state_dict(),
+        "running_mean_std": tm.running_mean_std.state_dict(),
+    }, path)
+
+    from rl_games_tpu.common.player import SACPlayer
+
+    params = {
+        "model": {"name": "soft_actor_critic"}, "network": net_cfg,
+        "config": {
+            "env_name": "Pendulum-v1", "num_actors": 2,
+            "normalize_input": True, "seed": 1,
+            "player": {"games_num": 2, "max_steps": 250},
+        },
+    }
+    player = SACPlayer(params)
+    player.restore(path)
+    with torch.no_grad():
+        head_w = next(
+            m for m in reversed(list(tm.sac_network.actor.trunk.children()))
+            if isinstance(m, torch.nn.Linear)
+        ).weight.numpy()
+    np.testing.assert_allclose(
+        np.asarray(player.actor_params["params"]["head"]["Dense_0"]["kernel"]),
+        head_w.T, atol=1e-6,
+    )
+    reward = player.run()
+    assert np.isfinite(reward)
+
+
 def test_import_rejects_unknown_and_mismatched():
     cfg = mlp_continuous_cfg()
     tm = _torch_model(cfg, 3, (8,), False, False)
