@@ -260,10 +260,11 @@ def convert_a2c_state_dict(
         else:
             _assign(body, ("sigma",), src.take("a2c_network.sigma"))
 
-    # discrete logits: our top-level Dense_i heads <- torch 'logits'
-    # (single Linear) or 'logits.<i>' (multi-discrete ModuleList)
+    # discrete logits: our head modules <- torch 'logits' (single Linear,
+    # ours is a top-level 'Dense_0') or 'logits.<i>' (multi-discrete
+    # ModuleList, ours are 'logits_<i>')
     logit_heads = sorted(
-        (k for k in body if k.startswith("Dense_")),
+        (k for k in body if k.startswith(("Dense_", "logits_"))),
         key=lambda s: int(s.rsplit("_", 1)[1]),
     )
     if logit_heads:

@@ -362,6 +362,32 @@ def test_sac_pth_restores_through_player(tmp_path):
     assert np.isfinite(reward)
 
 
+def test_import_multidiscrete_logits_list():
+    """Multi-discrete: torch 'logits.<i>' ModuleList → our 'logits_<i>'
+    heads (network_builder.py:200-214 multi-discrete branch)."""
+    cfg = {
+        "model": {"name": "multi_discrete_a2c"},
+        "network": {"name": "actor_critic", "separate": False,
+                    "mlp": {"units": [16], "activation": "relu",
+                            "initializer": {"name": "default"}},
+                    "space": {"multi_discrete": {}}},
+    }
+    tm = _torch_model(cfg, [3, 4], (5,), False, False, seed=7)
+    model, net_params, norm = _ours(cfg, [3, 4], (5,), False, False)
+    new_params, _ = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (5,),
+    )
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(
+                new_params["params"][f"logits_{i}"]["Dense_0"]["kernel"]
+            ),
+            tm.state_dict()[f"a2c_network.logits.{i}.weight"].numpy().T,
+            atol=1e-6,
+        )
+
+
 def test_import_rejects_unknown_and_mismatched():
     cfg = mlp_continuous_cfg()
     tm = _torch_model(cfg, 3, (8,), False, False)
