@@ -326,6 +326,14 @@ class PPOAgent:
                     "get_action_masks() (IVecEnv surface, "
                     "common/ivecenv.py:24-26)"
                 )
+            probe = getattr(self.vec_env, "supports_action_masks", None)
+            if probe is not None and not probe():
+                raise ValueError(
+                    "use_action_masks: this vec env cannot serve masks "
+                    "(async vectorization, or sub-envs without "
+                    "get_action_mask) — see GymnasiumVecEnv."
+                    "supports_action_masks"
+                )
         if (
             self.is_host_env
             and getattr(self.vec_env, "autoreset_mode", "same_step")

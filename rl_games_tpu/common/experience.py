@@ -125,8 +125,14 @@ def prioritized_update(
     state: PrioritizedReplayState, idxes, priorities, alpha: float = 0.6
 ) -> PrioritizedReplayState:
     """Scatter fresh TD-error priorities and advance the max-priority
-    watermark (experience.py:184-205)."""
-    priorities = jnp.asarray(priorities, jnp.float32)
+    watermark (experience.py:184-205).
+
+    Priorities are floored at 1e-6: the reference enforces
+    ``assert priority > 0`` (experience.py:199) because a zero priority
+    would make the slot indistinguishable from the empty-slot sentinel
+    (p_alpha == 0) and permanently exclude a live transition from
+    sampling; inside jit a clamp replaces the assert."""
+    priorities = jnp.maximum(jnp.asarray(priorities, jnp.float32), 1e-6)
     return state.replace(
         p_alpha=state.p_alpha.at[jnp.asarray(idxes)].set(
             priorities ** alpha

@@ -333,15 +333,13 @@ class SACPlayer(BasePlayer):
     def restore(self, checkpoint_path: str):
         if checkpoint_path.endswith((".pth", ".pt")):
             # reference SAC torch checkpoint (utils/torch_import)
-            from rl_games_tpu.models.sac import SACDoubleCritic  # noqa: F401
             from rl_games_tpu.utils import torch_import as ti
 
             raw = ti.load_torch_checkpoint_raw(checkpoint_path)
             if "model" in raw and "actor" not in raw:
                 raw = raw["model"]
             new_actor, _, _, new_rms = ti.convert_sac_weights(
-                {**raw, "critic": raw["critic"]}, self.actor_params,
-                self._critic_example(), None, self.obs_rms,
+                raw, self.actor_params, None, None, self.obs_rms,
             )
             self.actor_params = new_actor
             self.obs_rms = new_rms
@@ -354,18 +352,6 @@ class SACPlayer(BasePlayer):
         payload, _ = ckpt.load_checkpoint_weights(checkpoint_path, example)
         self.actor_params = payload["actor_params"]
         self.obs_rms = payload["obs_rms"]
-
-    def _critic_example(self):
-        """Critic params matching the checkpoint's critic section (the
-        player only needs the actor, but the converter is whole-payload)."""
-        from rl_games_tpu.models.sac import build_sac_networks
-
-        _, critic = build_sac_networks(
-            self.params["network"], self.action_dim
-        )
-        obs = jnp.zeros((1,) + tuple(self.obs_shape), jnp.float32)
-        act = jnp.zeros((1, self.action_dim), jnp.float32)
-        return critic.init(jax.random.PRNGKey(0), obs, act)
 
     def run(self, games_num: Optional[int] = None, **_):
         from rl_games_tpu.models.sac import SACActor

@@ -164,10 +164,24 @@ class GymnasiumVecEnv:
             out_infos,
         )
 
+    def supports_action_masks(self) -> bool:
+        """Capability probe for the trainer's init-time use_action_masks
+        check: masks need sync vectorization (async sub-envs live in other
+        processes) and sub-envs that expose get_action_mask."""
+        return hasattr(self.env, "envs") and all(
+            hasattr(e.unwrapped, "get_action_mask") for e in self.env.envs
+        )
+
     def get_action_masks(self):
         """RayWorker.get_action_mask analog (common/vecenv.py:132-139):
         collect per-env masks from sub-envs that expose get_action_mask
         (sync vectorization only)."""
+        if not hasattr(self.env, "envs"):
+            raise ValueError(
+                "use_action_masks requires sync vectorization "
+                "(env_config use_async: False): AsyncVectorEnv sub-envs "
+                "are in other processes and unreachable for masks"
+            )
         return np.stack(
             [e.unwrapped.get_action_mask() for e in self.env.envs]
         )

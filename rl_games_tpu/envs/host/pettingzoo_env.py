@@ -62,6 +62,10 @@ class MultiWalkerVecEnv:
         self._prev_actions = np.zeros(
             (num_actors, n_walkers, self.action_dim), np.float32
         )
+        # per-env episode counter folded into reset seeds: a fixed
+        # `seed + i` would replay the identical episode initialization
+        # after every autoreset (Connect4SelfPlayVecEnv does the same)
+        self._ep_count = np.zeros(num_actors, np.int64)
 
     # -- row building -------------------------------------------------
     def _env_rows(self, env_i, obs_dict):
@@ -106,7 +110,11 @@ class MultiWalkerVecEnv:
         )
 
     def _reset_one(self, i):
-        seed = None if self.seed is None else self.seed + i
+        seed = (
+            None if self.seed is None
+            else self.seed + i + 7919 * int(self._ep_count[i])
+        )
+        self._ep_count[i] += 1
         obs, _ = self.envs[i].reset(seed=seed)
         self._prev_actions[i] = 0.0
         return self._env_rows(i, obs)
@@ -147,12 +155,25 @@ class MultiWalkerVecEnv:
                     np.float32,
                 )
             )
-            episode_done = bool(row_done.all()) or not env.agents
+            # any agent terminating (or pettingzoo removing one, e.g.
+            # terminate_on_fall=False dropping a fallen walker) ends the
+            # episode for the whole env: the framework's rows are static
+            # per agent, and streaming zero-obs "alive" rows for a dead
+            # agent would feed fabricated transitions into GAE. (The
+            # reference adapter, envs/multiwalker.py:35-38, KeyErrors in
+            # this case.) With the default terminate_on_fall=True all
+            # agents terminate together, so this matches all-done exactly.
+            episode_done = (
+                bool(row_done.any()) or len(env.agents) < self.num_agents
+            )
             if episode_done:
                 # same_step autoreset: surface the true final rows, return
                 # the fresh episode's first rows (RayWorker, vecenv.py:105-116)
                 final_rows.append(self._env_rows(i, obs))
                 per_env.append(self._reset_one(i))
+                # agents still alive when the env force-ends are cut off,
+                # not terminated: flag time_outs so their value bootstraps
+                row_to = row_to | ~row_done
                 row_done = np.ones(self.num_agents, bool)
                 any_done = True
             else:

@@ -236,6 +236,20 @@ def convert_a2c_state_dict(
     fill_mlp("actor_mlp")
     fill_mlp("critic_mlp")
 
+    # the NCHW->NHWC flatten permutation lands on the first Linear AFTER
+    # the conv stack; with no mlp that Linear is a distribution/value head
+    # below, which this importer does not permute — refuse rather than
+    # silently mis-load (no reference config pairs a cnn with an empty mlp)
+    if flat_hw is not None and (
+        "actor_mlp" not in body
+        or ("critic_cnn" in body and "critic_mlp" not in body)
+    ):
+        raise NotImplementedError(
+            "torch import of a conv torso with no mlp stage: the flatten "
+            "permutation would land on a head layer; add an mlp or extend "
+            "the importer"
+        )
+
     # named heads: mu / value (continuous); sigma leaf or head
     for head in ("mu", "value"):
         if head in body:
@@ -415,7 +429,11 @@ def convert_sac_weights(
             )
         return new
 
-    new_critic = fill_critic(critic_params, raw["critic"])
+    # critic_params=None: actor-only conversion (the play path needs no Q)
+    new_critic = (
+        fill_critic(critic_params, raw["critic"])
+        if critic_params is not None else None
+    )
     new_target = None
     if critic_target_params is not None and "critic_target" in raw:
         new_target = fill_critic(critic_target_params, raw["critic_target"])

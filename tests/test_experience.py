@@ -93,3 +93,20 @@ def test_partial_fill_never_samples_empty_slots_and_jits():
 
     _, _, idxes = draw(state, jax.random.PRNGKey(2))
     assert int(np.asarray(idxes).max()) < 3
+
+
+def test_zero_priority_update_keeps_row_sampleable():
+    """A 0.0 TD-error priority must not turn a live row into the
+    empty-slot sentinel (p_alpha == 0 is 'never sample'): the reference
+    asserts priority > 0 (experience.py:199); prioritized_update clamps
+    instead, so the row stays reachable."""
+    state = _fill(prioritized_init(4, (2,), (1,)), 4)
+    state = prioritized_update(
+        state, np.arange(4), np.zeros(4)  # all-zero TD errors
+    )
+    assert float(np.asarray(state.p_alpha).min()) > 0.0
+    _, _, idxes = prioritized_sample(
+        state, jax.random.PRNGKey(0), 256, beta=0.4
+    )
+    # clamped rows sample uniformly; none became the empty sentinel
+    assert set(np.asarray(idxes).tolist()) == {0, 1, 2, 3}
