@@ -1675,6 +1675,11 @@ class PPOAgent:
         t_last_log = start_time
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
+            # curriculum hook, called per epoch like the reference's
+            # train_epoch (a2c_common.py:636); device envs take difficulty
+            # through their state pytree instead, host envs may override
+            if self.is_host_env and hasattr(self.vec_env, "set_train_info"):
+                self.vec_env.set_train_info(frame, self)
             state, metrics_dev = train_fn(state)
             epoch_num += 1
             frame += self.batch_size

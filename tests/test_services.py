@@ -435,3 +435,45 @@ def test_isaac_observer_host_path():
     agent.train(writer=writer, max_epochs=2)
     assert "Episode/success" in writer.tags
     assert writer.tags["my_metric/frame"] == 3.5
+
+
+def test_set_train_info_called_each_epoch():
+    """Curriculum hook parity: the reference calls
+    vec_env.set_train_info(frame, self) once per train_epoch
+    (a2c_common.py:636); the host train loop must do the same."""
+    from rl_games_tpu.algos.ppo import PPOAgent
+    from test_host_envs import _FakeSameStepEnv
+
+    calls = []
+
+    class CurriculumEnv(_FakeSameStepEnv):
+        def set_train_info(self, frames, metrics):
+            calls.append(int(frames))
+
+    env = CurriculumEnv([3, 5])
+    params = {
+        "algo": {"name": "a2c_continuous"},
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+        "config": {
+            "env_name": "fake", "num_actors": 2, "horizon_length": 8,
+            "minibatch_size": 16, "mini_epochs": 1, "learning_rate": 1e-4,
+            "e_clip": 0.2, "clip_value": False, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 1.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "normalize_advantage": True, "normalize_input": False,
+            "seed": 3, "max_epochs": 2, "print_stats": False,
+            "save_best_after": 10**9, "train_dir": "/tmp/sti_test",
+        },
+    }
+    agent = PPOAgent("t", params, vec_env=env)
+    agent.train(max_epochs=2)
+    assert calls == [0, 16]  # pre-epoch frames: 0, then 2 actors x 8 steps
