@@ -214,3 +214,56 @@ def test_load_critic_only(tmp_path):
         np.asarray(jax.tree.leaves(warm.params)[0]),
         np.asarray(jax.tree.leaves(fresh.params)[0]),
     )
+
+
+def test_max_frames_stops_training(tmp_path):
+    """max_frames semantics (reference tests/test_critical_fixes.py:77-86):
+    training stops once the frame counter reaches max_frames, even with
+    max_epochs far larger."""
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=50)
+    # 4 actors x 8 horizon = 32 frames/epoch -> 3 epochs
+    cfg["params"]["config"]["max_frames"] = 96
+    runner = Runner()
+    runner.load(cfg)
+    _, epochs = runner.run({"train": True})
+    assert epochs == 3
+
+
+def test_best_watermark_preserved_on_resume(tmp_path):
+    """Best-reward watermark survives checkpoint resume (reference
+    tests/test_critical_fixes.py:169-179): restoring must carry
+    last_mean_rewards forward, not reset it to the sentinel."""
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=4)
+    runner = Runner()
+    runner.load(cfg)
+    best1, epochs1 = runner.run({"train": True})
+    assert epochs1 == 4
+    assert best1 > 0  # cartpole rewards are positive; some episodes finished
+
+    nn_dir = os.path.join(str(tmp_path), "cartpole_ppo", "nn")
+    ckpt_path = os.path.join(
+        nn_dir, [f for f in os.listdir(nn_dir) if f.startswith("last_")][0]
+    )
+    # resume at max_epochs: the loop exits immediately and returns the
+    # RESTORED watermark — the sentinel (-100500) would mean it was lost
+    best2, epochs2 = runner.run({"train": True, "checkpoint": ckpt_path})
+    assert epochs2 >= 4
+    assert best2 >= best1
+
+
+def test_adaptive_lr_anneals(tmp_path):
+    """Adaptive-KL schedule regression (reference
+    tests/test_critical_fixes.py:89-115): with a tiny kl_threshold the LR
+    must shrink from its configured value within a few epochs."""
+    cfg = shrink(load_cfg("ppo_pendulum.yaml"), tmp_path, max_epochs=3)
+    c = cfg["params"]["config"]
+    c["lr_schedule"] = "adaptive"
+    c["kl_threshold"] = 1e-8
+    runner = Runner()
+    runner.load(cfg)
+    agent = runner.create_agent()
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    for _ in range(3):
+        state, metrics = fn(state)
+    assert float(metrics["lr"]) < float(c["learning_rate"])
