@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--wandb-entity", type=str, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax profiler trace")
+    ap.add_argument("--export", action="store_true",
+                    help="export the policy (-c checkpoint) to a "
+                         "deployable StableHLO artifact")
+    ap.add_argument("--export-path", type=str, default=None,
+                    help="output path for --export "
+                         "(default: <checkpoint>.stablehlo)")
     args = vars(ap.parse_args())
 
     with open(args["file"]) as f:

@@ -187,11 +187,49 @@ class Runner:
             player.override_sigma(args["sigma"])
         return player.run(**args.get("player", {}))
 
+    def run_export(self, args: Dict[str, Any]):
+        """Export a trained policy to a deployable StableHLO artifact.
+
+        The reference's deployment story is ONNX tracing via
+        algos_torch/flatten.py + the runner notebooks; here it is a
+        first-class CLI verb: the deterministic policy (obs → env-space
+        action, normalizers and action rescale baked in, symbolic batch
+        dim) serializes through jax.export (utils/export.py)."""
+        import numpy as np
+
+        from rl_games_tpu.utils.export import save_policy
+
+        player = self.create_player()
+        checkpoint = args.get("checkpoint")
+        if checkpoint:
+            player.restore(checkpoint)
+        if isinstance(player.obs_shape, dict):
+            raise ValueError(
+                "--export supports flat observation spaces; dict-obs "
+                "policies need a custom export closure "
+                "(utils/export.make_deterministic_policy_fn)"
+            )
+        example_obs = np.zeros((1,) + tuple(player.obs_shape), np.float32)
+        action_space = (
+            player.env_info.action_space if player.is_continuous else None
+        )
+        path = args.get("export_path") or (
+            (checkpoint or self.params["config"]["name"]) + ".stablehlo"
+        )
+        save_policy(
+            path, player.model, player.net_params, player.norm,
+            example_obs, action_space=action_space,
+        )
+        print(f"exported policy to {path}")
+        return path
+
     def run(self, args: Dict[str, Any]):
         if args.get("train"):
             return self.run_train(args)
         elif args.get("play"):
             return self.run_play(args)
+        elif args.get("export"):
+            return self.run_export(args)
         else:
             return self.run_train(args)
 

@@ -55,3 +55,40 @@ def test_export_discrete(tmp_path):
     actions = np.asarray(policy(obs))
     assert actions.shape == (2,)
     assert actions.dtype in (np.int32, np.int64)
+
+
+def test_cli_export_verb(tmp_path):
+    """--export end-to-end: train 2 epochs, export the checkpoint through
+    Runner.run({'export': True}), reload the artifact, and check it
+    matches the player's own forward on the same obs (the reference's
+    ONNX-notebook flow, as a CLI verb)."""
+    from rl_games_tpu.runner import Runner
+    from tests.test_runner import load_cfg, shrink
+
+    cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=2)
+    runner = Runner()
+    runner.load(cfg)
+    runner.run({"train": True})
+    nn_dir = tmp_path / "cartpole_ppo" / "nn"
+    ckpt = str(next(p for p in nn_dir.iterdir() if p.name.startswith("last_")))
+
+    out = str(tmp_path / "policy.stablehlo")
+    path = runner.run({"export": True, "checkpoint": ckpt, "export_path": out})
+    assert path == out
+
+    with open(out, "rb") as f:
+        policy = load_policy(f.read())
+
+    player = runner.create_player()
+    player.restore(ckpt)
+    obs = jnp.asarray(
+        np.random.default_rng(2).normal(size=(5, 4)), jnp.float32
+    )
+    got = np.asarray(policy(obs))
+    expected = np.asarray(
+        player.model.forward_play(
+            player.net_params, player.norm, jax.random.PRNGKey(0), obs,
+            deterministic=True,
+        )["actions"]
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
