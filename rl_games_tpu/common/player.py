@@ -91,6 +91,16 @@ class BasePlayer:
         self.net_params = payload["params"]
         self.norm = payload["norm"]
 
+    def make_export_policy(self):
+        """Deterministic obs → env-space action closure for --export
+        (utils/export; normalizers + action rescale baked in)."""
+        from rl_games_tpu.utils.export import make_deterministic_policy_fn
+
+        return make_deterministic_policy_fn(
+            self.model, self.net_params, self.norm,
+            self.env_info.action_space if self.is_continuous else None,
+        )
+
     def _actor_obs(self, obs):
         return obs["obs"] if isinstance(obs, dict) else obs
 
@@ -352,6 +362,23 @@ class SACPlayer(BasePlayer):
         payload, _ = ckpt.load_checkpoint_weights(checkpoint_path, example)
         self.actor_params = payload["actor_params"]
         self.obs_rms = payload["obs_rms"]
+
+    def make_export_policy(self):
+        """Deterministic SAC policy for --export: normalize → actor mu →
+        tanh → rescale to env bounds."""
+        from rl_games_tpu.ops.running_stats import rms_normalize
+
+        def policy(obs_vec):
+            if self.obs_rms is not None:
+                obs_vec = rms_normalize(self.obs_rms, obs_vec)
+            mu, _ = self.actor.apply(self.actor_params, obs_vec)
+            return jnp.clip(
+                jnp.tanh(mu) * self.action_scale + self.action_bias,
+                self.env_info.action_space.low,
+                self.env_info.action_space.high,
+            )
+
+        return policy
 
     def run(self, games_num: Optional[int] = None, **_):
         from rl_games_tpu.models.sac import SACActor

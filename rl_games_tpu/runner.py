@@ -197,7 +197,7 @@ class Runner:
         dim) serializes through jax.export (utils/export.py)."""
         import numpy as np
 
-        from rl_games_tpu.utils.export import save_policy
+        from rl_games_tpu.utils.export import export_policy_fn
 
         player = self.create_player()
         checkpoint = args.get("checkpoint")
@@ -210,16 +210,12 @@ class Runner:
                 "(utils/export.make_deterministic_policy_fn)"
             )
         example_obs = np.zeros((1,) + tuple(player.obs_shape), np.float32)
-        action_space = (
-            player.env_info.action_space if player.is_continuous else None
-        )
         path = args.get("export_path") or (
             (checkpoint or self.params["config"]["name"]) + ".stablehlo"
         )
-        save_policy(
-            path, player.model, player.net_params, player.norm,
-            example_obs, action_space=action_space,
-        )
+        blob = export_policy_fn(player.make_export_policy(), example_obs)
+        with open(path, "wb") as f:
+            f.write(blob)
         print(f"exported policy to {path}")
         return path
 

@@ -38,19 +38,24 @@ def make_deterministic_policy_fn(model, net_params, norm,
     return policy
 
 
-def export_policy(model, net_params, norm, example_obs,
-                  action_space=None) -> bytes:
-    """Serialize the deterministic policy to a StableHLO artifact."""
+def export_policy_fn(policy, example_obs) -> bytes:
+    """Serialize any obs → action callable to a StableHLO artifact with a
+    symbolic batch dimension (serve any batch size)."""
     from jax import export as jax_export
 
-    policy = make_deterministic_policy_fn(model, net_params, norm, action_space)
-    # symbolic batch dimension: serve any batch size
     batch = jax_export.symbolic_shape("b")[0]
     obs_spec = jax.ShapeDtypeStruct(
         (batch,) + tuple(example_obs.shape[1:]), jnp.float32
     )
     exported = jax_export.export(jax.jit(policy))(obs_spec)
     return exported.serialize()
+
+
+def export_policy(model, net_params, norm, example_obs,
+                  action_space=None) -> bytes:
+    """Serialize the deterministic policy to a StableHLO artifact."""
+    policy = make_deterministic_policy_fn(model, net_params, norm, action_space)
+    return export_policy_fn(policy, example_obs)
 
 
 def load_policy(blob: bytes):

@@ -92,3 +92,39 @@ def test_cli_export_verb(tmp_path):
         )["actions"]
     )
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_export_sac(tmp_path):
+    """--export on a SAC checkpoint: deterministic tanh(mu) policy with
+    obs normalization and action rescale baked into the artifact."""
+    import yaml
+    from rl_games_tpu.runner import Runner
+    from tests.test_runner import load_cfg
+
+    cfg = load_cfg("sac_pendulum.yaml")
+    c = cfg["params"]["config"]
+    c.update(train_dir=str(tmp_path), max_epochs=2, num_actors=4,
+             num_warmup_steps=1, print_stats=False)
+    runner = Runner()
+    runner.load(cfg)
+    runner.run({"train": True})
+    nn_dir = tmp_path / "pendulum_sac" / "nn"
+    ckpt = str(next(p for p in nn_dir.iterdir() if p.name.startswith("last_")))
+
+    out = str(tmp_path / "sac.stablehlo")
+    runner.run({"export": True, "checkpoint": ckpt, "export_path": out})
+    with open(out, "rb") as f:
+        policy = load_policy(f.read())
+
+    obs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(6, 3)), jnp.float32
+    )
+    acts = np.asarray(policy(obs))
+    assert acts.shape == (6, 1)
+    # pendulum bounds: env-space actions land in [-2, 2]
+    assert np.all(np.abs(acts) <= 2.0 + 1e-6)
+
+    player = runner.create_player()
+    player.restore(ckpt)
+    expected = np.asarray(player.make_export_policy()(obs))
+    np.testing.assert_allclose(acts, expected, rtol=1e-5, atol=1e-6)
