@@ -1,7 +1,7 @@
 """Benchmark: PPO training throughput (env-steps/s) on one chip.
 
 Runs the full fused training epoch (rollout scan + Pallas GAE + minibatch
-updates, all on device) on an Ant-class workload: 4096 device-resident Ant2D
+updates, all on device) on an Ant-class workload: 8192 device-resident Ant2D
 envs (real articulated rigid-body physics — planar quadruped, Lagrangian
 dynamics via autodiff, penalty contacts; rl_games_tpu/envs/jax/ant2d.py),
 horizon 16, [256,128,64] MLP actor-critic. PPO learns locomotion on this
