@@ -1202,15 +1202,7 @@ class PPOAgent:
             self._host_fns = self._make_host_fns()
         policy_step, finish = self._host_fns
 
-        def to_device_obs(o):
-            # dict obs pass through whole; uint8 image obs cast to f32
-            # (the reference's obs casting, a2c_common.py:540-575)
-            return jax.tree.map(
-                lambda x: jnp.asarray(x).astype(jnp.float32)
-                if np.asarray(x).dtype == np.uint8
-                else jnp.asarray(x),
-                o,
-            )
+        from rl_games_tpu.common.obs_utils import to_device_obs
 
         obs = state.obs
         dones = jnp.asarray(state.dones)
@@ -1491,32 +1483,18 @@ class PPOAgent:
         raise NotImplementedError(f"No param found for {param_name}")
 
     def override_sigma(self, state: PPOTrainState, sigma: float):
-        """--sigma CLI override (_override_sigma, torch_runner.py:52-60):
-        fill the fixed-sigma parameter with a constant. The raw 'sigma'
-        leaf is what the parametrization (exp/softplus) consumes, matching
-        the reference's net.sigma.fill_()."""
-        if not self.is_continuous:
-            print("Cannot set new sigma: action space is not continuous")
-            return state
-        fixed = (
-            self.full_params.get("network", {})
-            .get("space", {})
-            .get("continuous", {})
-            .get("fixed_sigma", True)
+        """--sigma CLI override (_override_sigma, torch_runner.py:52-60)."""
+        from rl_games_tpu.common.obs_utils import (
+            fill_sigma_leaves, sigma_override_blocked,
         )
-        if not fixed:
-            print("Cannot set new sigma because fixed_sigma is False")
+
+        blocked = sigma_override_blocked(
+            self.is_continuous, self.full_params.get("network", {})
+        )
+        if blocked:
+            print(blocked)
             return state
-
-        def repl(path, leaf):
-            last = path[-1]
-            key = getattr(last, "key", getattr(last, "name", None))
-            if key == "sigma":
-                return jnp.full_like(leaf, float(sigma))
-            return leaf
-
-        params = jax.tree_util.tree_map_with_path(repl, state.params)
-        return state.replace(params=params)
+        return state.replace(params=fill_sigma_leaves(state.params, sigma))
 
     def restore_central_value_only(self, checkpoint: str,
                                    state: PPOTrainState) -> PPOTrainState:
@@ -1673,6 +1651,7 @@ class PPOAgent:
 
         start_time = time.perf_counter()
         t_last_log = start_time
+        ep_last_log = epoch_num
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
             # curriculum hook, called per epoch like the reference's
@@ -1730,8 +1709,13 @@ class PPOAgent:
             metrics = jax.device_get(metrics_dev)
             if do_log:
                 now = time.perf_counter()
-                epoch_time = (now - t_last_log) / log_interval
+                # divide by the ACTUAL epochs since the last log — an early
+                # log (will_exit/stop_fn) covers fewer than log_interval
+                epoch_time = (now - t_last_log) / max(
+                    epoch_num - ep_last_log, 1
+                )
                 t_last_log = now
+                ep_last_log = epoch_num
                 fps_total = self.batch_size / max(epoch_time, 1e-9)
                 timing = getattr(self, "_last_timing", None)
                 if timing is not None:

@@ -212,6 +212,12 @@ class SACAgent:
         self.init_alpha = float(config["init_alpha"])
         self.learnable_temperature = config["learnable_temperature"]
         self.replay_buffer_size = config["replay_buffer_size"]
+        # UTD updates additionally wait for one full batch of real rows in
+        # the ring: with the reference's sample-with-replacement semantics
+        # (experience.py:264-296) an emptier buffer would be legal, but it
+        # only ever arises on resume from a replay-stripped checkpoint,
+        # where updating against a handful of fresh rows corrupts the critic
+        self.replay_min_fill = min(self.batch_size, self.replay_buffer_size)
         # full replay buffer in checkpoints is opt-in (the reference stores
         # it optionally, sac_agent.py:312-313; it is multi-GB for MuJoCo
         # obs dims and dominates checkpoint time when on)
@@ -556,8 +562,11 @@ class SACAgent:
                 }
                 return state, zero
 
+            can_update = (~warmup) & (
+                replay_size(state.replay) >= self.replay_min_fill
+            )
             state, metrics = jax.lax.cond(
-                ~warmup, do_updates, no_updates, state
+                can_update, do_updates, no_updates, state
             )
             return (state, metrics), None
 
@@ -676,8 +685,11 @@ class SACAgent:
                 )
                 return state, metrics
 
+            can_update = (~warmup) & (
+                replay_size(state.replay) >= self.replay_min_fill
+            )
             state, metrics = jax.lax.cond(
-                ~warmup, do_updates, lambda s: (s, _zero_metrics()), state
+                can_update, do_updates, lambda s: (s, _zero_metrics()), state
             )
             return state, metrics
 
@@ -859,13 +871,18 @@ class SACAgent:
     def _restore(self, checkpoint: str, state: SACTrainState):
         from rl_games_tpu.utils import checkpoint as ckpt
 
-        meta = ckpt.peek_meta(checkpoint)
+        payload = ckpt.read_payload(checkpoint)
+        meta = payload.get("meta", {})
         if meta.get("has_replay", True):
-            return ckpt.load_checkpoint(checkpoint, state)
+            return ckpt.load_checkpoint(checkpoint, state, payload=payload)
+        # replay was stripped at save time: restore everything else and keep
+        # the fresh (empty) buffer — the replay_min_fill gate below pauses
+        # UTD updates until one full batch of real rows has been re-collected
         stripped = state.replace(
             replay=replay_init(1, self.obs_shape, self.action_dim)
         )
-        loaded, meta = ckpt.load_checkpoint(checkpoint, stripped)
+        loaded, meta = ckpt.load_checkpoint(checkpoint, stripped,
+                                            payload=payload)
         return loaded.replace(replay=state.replay), meta
 
     # ------------------------------------------------------------------
@@ -932,6 +949,7 @@ class SACAgent:
 
         start_time = time.perf_counter()
         t_last_log = start_time
+        ep_last_log = epoch_num
         best_path = os.path.join(nn_dir, experiment_name + ".ckpt")
         while True:
             if getattr(self, "_program_stale", False):
@@ -955,11 +973,14 @@ class SACAgent:
             if do_log:
                 metrics = jax.device_get(metrics_dev)
                 now = time.perf_counter()
+                # divide by the ACTUAL epochs since the last log — an early
+                # log (will_exit/stop_fn) covers fewer than log_interval
                 fps = (
-                    log_interval * self.num_frames_per_epoch
+                    (epoch_num - ep_last_log) * self.num_frames_per_epoch
                     / max(now - t_last_log, 1e-9)
                 )
                 t_last_log = now
+                ep_last_log = epoch_num
                 games_played = int(metrics["games_played"])
                 mean_rewards = (
                     float(metrics["mean_rewards"][0]) if games_played else None

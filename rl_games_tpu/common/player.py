@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rl_games_tpu.algos.ppo import Meters, meters_init, meters_mean, meters_update
+from rl_games_tpu.common import obs_utils
 from rl_games_tpu.common.tr_helpers import rescale_actions
 from rl_games_tpu.envs import registry as env_registry
 from rl_games_tpu.envs.spaces import Box, actions_num_of, obs_shape_of
@@ -106,41 +107,17 @@ class BasePlayer:
 
     @staticmethod
     def _to_device_obs(o):
-        """Dict obs pass through per-key; uint8 image obs cast to f32 —
-        same cast the trainer's host path applies (a2c_common.py:540-575),
-        so train and play inference see identical dtypes."""
-        return jax.tree.map(
-            lambda x: jnp.asarray(x).astype(jnp.float32)
-            if np.asarray(x).dtype == np.uint8
-            else jnp.asarray(x),
-            o,
-        )
+        return obs_utils.to_device_obs(o)
 
     def override_sigma(self, sigma: float):
         """--sigma at play time (_override_sigma, torch_runner.py:52-60)."""
-        if not self.is_continuous:
-            print("Cannot set new sigma: action space is not continuous")
-            return
-        fixed = (
-            self.params.get("network", {})
-            .get("space", {})
-            .get("continuous", {})
-            .get("fixed_sigma", True)
+        blocked = obs_utils.sigma_override_blocked(
+            self.is_continuous, self.params.get("network", {})
         )
-        if not fixed:
-            print("Cannot set new sigma because fixed_sigma is False")
+        if blocked:
+            print(blocked)
             return
-
-        def repl(path, leaf):
-            last = path[-1]
-            key = getattr(last, "key", getattr(last, "name", None))
-            if key == "sigma":
-                return jnp.full_like(leaf, float(sigma))
-            return leaf
-
-        self.net_params = jax.tree_util.tree_map_with_path(
-            repl, self.net_params
-        )
+        self.net_params = obs_utils.fill_sigma_leaves(self.net_params, sigma)
 
     def _env_actions(self, actions):
         if not self.is_continuous:
@@ -290,6 +267,13 @@ class PpoPlayer(BasePlayer):
 class SACPlayer(BasePlayer):
     """SAC evaluation (players.py SACPlayer): deterministic action =
     tanh(mu) rescaled to env bounds."""
+
+    def override_sigma(self, sigma: float):
+        """--sigma is a fixed-sigma A2C knob; the SAC actor has no sigma
+        parameter to overwrite. The reference no-ops with a message
+        (torch_runner.py:52-60 hasattr guard) — match that, instead of
+        crashing on BasePlayer's net_params."""
+        print("Cannot set new sigma: SAC policy has no fixed sigma parameter")
 
     def __init__(self, params, vec_env=None):
         from rl_games_tpu.models.sac import build_sac_networks

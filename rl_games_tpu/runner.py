@@ -199,10 +199,14 @@ class Runner:
 
         from rl_games_tpu.utils.export import export_policy_fn
 
-        player = self.create_player()
         checkpoint = args.get("checkpoint")
-        if checkpoint:
-            player.restore(checkpoint)
+        if not checkpoint:
+            raise ValueError(
+                "--export requires -c <checkpoint>: refusing to export a "
+                "randomly initialized policy"
+            )
+        player = self.create_player()
+        player.restore(checkpoint)
         if isinstance(player.obs_shape, dict):
             raise ValueError(
                 "--export supports flat observation spaces; dict-obs "

@@ -74,9 +74,17 @@ def peek_meta(path: str) -> dict:
     return _read_payload(path).get("meta", {})
 
 
-def load_checkpoint(path: str, example_state: Any):
+def read_payload(path: str) -> dict:
+    """Read the raw checkpoint payload once; pass it to load_checkpoint via
+    `payload=` to avoid a second read+unpickle of a multi-GB file when the
+    caller needs meta before choosing the example treedef."""
+    return _read_payload(path)
+
+
+def load_checkpoint(path: str, example_state: Any, payload: dict = None):
     """Restore into the treedef of `example_state`; returns (state, meta)."""
-    payload = _read_payload(path)
+    if payload is None:
+        payload = _read_payload(path)
     state = serialization.from_bytes(example_state, payload["state_bytes"])
     return state, payload.get("meta", {})
 

@@ -117,12 +117,7 @@ class _TorchSide:
         ]
 
     def leftovers(self):
-        skip_norm = ("running_mean_std.", "value_mean_std.")
-        return [
-            k
-            for k in self.sd
-            if k not in self.consumed and not k.startswith(skip_norm)
-        ]
+        return [k for k in self.sd if k not in self.consumed]
 
 
 def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
@@ -306,13 +301,6 @@ def convert_a2c_state_dict(
                     src.take(f"a2c_network.logits.{i}.bias"),
                 )
 
-    leftovers = src.leftovers()
-    if leftovers:
-        raise ValueError(
-            "torch checkpoint tensors with no destination in this model "
-            f"(config mismatch?): {leftovers}"
-        )
-
     # normalizers (torch RunningMeanStd <-> ops/running_stats.py)
     new_norm = norm
     if norm is not None:
@@ -321,13 +309,13 @@ def convert_a2c_state_dict(
         def rms_from(prefix, example):
             return example.replace(
                 mean=jnp.asarray(
-                    sd[f"{prefix}.running_mean"], example.mean.dtype
+                    src.take(f"{prefix}.running_mean"), example.mean.dtype
                 ),
                 var=jnp.asarray(
-                    sd[f"{prefix}.running_var"], example.var.dtype
+                    src.take(f"{prefix}.running_var"), example.var.dtype
                 ),
                 count=jnp.asarray(
-                    sd[f"{prefix}.count"], example.count.dtype
+                    src.take(f"{prefix}.count"), example.count.dtype
                 ),
             )
 
@@ -343,6 +331,16 @@ def convert_a2c_state_dict(
             new_norm = new_norm.replace(
                 value=rms_from("value_mean_std", norm.value)
             )
+
+    # AFTER norm application, so normalizer stats the target model cannot
+    # hold (e.g. checkpoint trained with normalize_input: True imported
+    # under normalize_input: False) hard-error instead of silently dropping
+    leftovers = src.leftovers()
+    if leftovers:
+        raise ValueError(
+            "torch checkpoint tensors with no destination in this model "
+            f"(config mismatch?): {leftovers}"
+        )
 
     return params, new_norm
 
@@ -439,6 +437,12 @@ def convert_sac_weights(
         new_target = fill_critic(critic_target_params, raw["critic_target"])
 
     new_rms = obs_rms
+    if obs_rms is None and raw.get("running_mean_std") is not None:
+        raise ValueError(
+            "torch SAC checkpoint carries running_mean_std stats but this "
+            "config has normalize_input: False — the imported policy would "
+            "see raw observations; enable normalize_input to import it"
+        )
     if obs_rms is not None and raw.get("running_mean_std") is not None:
         import jax.numpy as jnp
 

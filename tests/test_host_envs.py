@@ -284,7 +284,9 @@ def test_sac_host_path_runs():
         },
         "config": {
             "env_name": "Pendulum-v1", "vecenv_type": "GYMNASIUM",
-            "num_actors": 4, "num_steps_per_episode": 4, "batch_size": 64,
+            # batch 32: the replay_min_fill gate opens once 32 real rows
+            # are in the ring (epoch 2), so updates are observable by epoch 4
+            "num_actors": 4, "num_steps_per_episode": 4, "batch_size": 32,
             "replay_buffer_size": 10000, "num_warmup_steps": 1,
             "utd_ratio": 0.5, "gamma": 0.99, "init_alpha": 1.0,
             "alpha_lr": 5e-3, "actor_lr": 3e-4, "critic_lr": 3e-4,

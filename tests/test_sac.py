@@ -124,6 +124,7 @@ def test_target_network_polyak():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     fn = agent.make_train_fn()
     state, _ = fn(state)
+    state, _ = fn(state)  # 2nd epoch: ring reaches replay_min_fill (32 rows)
     # after updates: target moved but not equal to critic
     diffs = [
         float(np.abs(np.asarray(a) - np.asarray(b)).max())

@@ -230,3 +230,42 @@ def test_set_param_preserves_pending_transition():
     # 10 epochs x 2 steps, one transition still pending in the pipeline
     assert len(obs) == 2 * (10 * 2 - 1)
     _check_rows(obs, nxt, rew, dones)
+
+
+def test_resume_from_stripped_replay_pauses_updates(tmp_path):
+    """Regression: resuming from a replay-stripped checkpoint (the default,
+    replay_buffer_checkpoint=False) restores epoch >> warmup, so without a
+    fill gate the agent would immediately run UTD updates against a
+    near-empty fresh ring. The replay_min_fill gate must hold updates until
+    one full batch of real rows has been re-collected (sac.py:_restore)."""
+    from rl_games_tpu.utils import checkpoint as ckpt
+
+    env = _FakeHostEnv([1000, 1000])
+    agent = _agent(env, num_warmup_steps=2, batch_size=8)
+    state = agent.init_state()
+    state, _ = _run_epochs(agent, state, 8)  # past warmup: updates running
+    assert int(state.update_counter) > 0
+
+    path = str(tmp_path / "sac.ckpt")
+    ckpt.save_checkpoint(
+        path, agent._ckpt_state(state),
+        {"has_replay": agent.save_replay_buffer},
+        weights=agent.get_weights(state),
+    )
+
+    env2 = _FakeHostEnv([1000, 1000])
+    agent2 = _agent(env2, num_warmup_steps=2, batch_size=8)
+    state2 = agent2.init_state()
+    state2, _meta = agent2._restore(path, state2)
+    assert int(replay_size(state2.replay)) == 0   # ring is fresh
+    assert int(state2.epoch) == int(state.epoch)  # counters restored
+    upd0 = int(state2.update_counter)
+
+    fn = agent2.make_train_fn()
+    # first epoch only primes the act/ingest pipeline; the next three ingest
+    # 2, 4, 6 rows — all below min fill (batch_size=8): updates stay paused
+    for _ in range(4):
+        state2, _ = fn(state2)
+        assert int(state2.update_counter) == upd0
+    state2, _ = fn(state2)  # ingest #4: ring reaches 8 rows, gate opens
+    assert int(state2.update_counter) > upd0

@@ -401,3 +401,50 @@ def test_import_rejects_unknown_and_mismatched():
     sd["a2c_network.rnn.weight_ih_l0"] = np.zeros((4, 4), np.float32)
     with pytest.raises(NotImplementedError, match="RNN"):
         convert_a2c_state_dict(sd, net_params, norm, cfg["network"], (8,))
+
+
+def test_import_rejects_dropped_obs_normalizer():
+    """A checkpoint trained with normalize_input: True imported under a
+    config whose model holds no obs normalizer must hard-error — the stats
+    would otherwise vanish silently and the policy would see raw obs."""
+    cfg = mlp_continuous_cfg()
+    tm = _torch_model(cfg, 3, (8,), True, False)
+    model, net_params, norm = _ours(cfg, 3, (8,), False, False)
+    with pytest.raises(ValueError, match="running_mean_std"):
+        convert_a2c_state_dict(
+            flatten_state_dict(tm.state_dict()), net_params, norm,
+            cfg["network"], (8,),
+        )
+
+
+def test_sac_import_rejects_dropped_obs_normalizer(tmp_path):
+    """Same contract on the SAC path: rms section present in the .pth but
+    obs_rms=None (normalize_input: False) raises instead of dropping."""
+    net_cfg = {"name": "soft_actor_critic", "separate": True,
+               "space": {"continuous": None},
+               "mlp": {"units": [16], "activation": "relu",
+                       "initializer": {"name": "default"}},
+               "log_std_bounds": [-5, 2]}
+    torch.manual_seed(3)
+    tnet = TorchBuilder().load({
+        "model": {"name": "soft_actor_critic"}, "network": net_cfg,
+    })
+    tm = tnet.build({"action_dim": 2, "obs_dim": 6, "actions_num": 2,
+                     "input_shape": (6,), "normalize_value": False,
+                     "normalize_input": True, "value_size": 1})
+    raw = {
+        "actor": tm.sac_network.actor.state_dict(),
+        "critic": tm.sac_network.critic.state_dict(),
+        "running_mean_std": tm.running_mean_std.state_dict(),
+    }
+
+    from rl_games_tpu.models.sac import build_sac_networks
+    from rl_games_tpu.utils import torch_import as ti
+
+    actor, critic = build_sac_networks(net_cfg, 2)
+    obs0 = jnp.zeros((1, 6), jnp.float32)
+    act0 = jnp.zeros((1, 2), jnp.float32)
+    ap = actor.init(jax.random.PRNGKey(0), obs0)
+    cp = critic.init(jax.random.PRNGKey(0), obs0, act0)
+    with pytest.raises(ValueError, match="normalize_input"):
+        ti.convert_sac_weights(raw, ap, cp, None, None)

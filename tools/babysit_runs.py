@@ -37,8 +37,10 @@ RUNS = [
      "docs/sac_humanoid_5m_run.log", ("frames", 5_000_000)),
 ]
 
-MAX_RELAUNCH = 6
+MAX_RELAUNCH = 6  # consecutive relaunches WITHOUT progress (crash loop);
+# a healthy run that simply outlives its 8h timeout window resets the count
 relaunches = {name: 0 for name, *_ in RUNS}
+progress_at_relaunch = {name: -1 for name, *_ in RUNS}
 
 
 def note(msg):
@@ -97,10 +99,13 @@ def main():
             pending += 1
             if alive(cfg):
                 continue
+            if prog > progress_at_relaunch[name]:
+                relaunches[name] = 0  # it advanced: not a crash loop
             if relaunches[name] >= MAX_RELAUNCH:
                 note(f"{name} dead at {prog}/{target} but relaunch cap hit")
                 continue
             relaunches[name] += 1
+            progress_at_relaunch[name] = prog
             relaunch(name, cfg, ckpt, log_path)
         if pending == 0:
             note("all runs complete; exiting")
