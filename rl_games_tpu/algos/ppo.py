@@ -738,8 +738,12 @@ class PPOAgent:
                 cv_rnn_dataset_states = to_dataset_states(cv_snaps)
         return state, dataset, (rnn_dataset_states, cv_rnn_dataset_states)
 
-    def _loss_and_kl(self, params, norm, mb, entropy_coef, aug_key=None):
+    def _loss_and_kl(self, params, norm, mb, entropy_coef, mb_key=None):
         """Loss assembly (a2c_continuous.py:97-133 / a2c_discrete.py:116-190)."""
+        if mb_key is not None:
+            aug_key, entropy_key = jax.random.split(mb_key)
+        else:
+            aug_key = entropy_key = None
         if self.mixed_precision:
             # bf16 network compute; losses/stats stay f32 (bf16 keeps f32's
             # exponent range, so no loss scaling — same as torch autocast)
@@ -757,6 +761,13 @@ class PPOAgent:
             )
         if self.use_action_masks:
             rnn_kwargs["action_masks"] = mb["action_masks"]
+        if entropy_key is not None and getattr(
+            self.model, "sampled_entropy", False
+        ):
+            # tanh policy: entropy is a single-sample MC estimate — give it
+            # FRESH noise per minibatch (the reference rsamples per update,
+            # models.py:351-407); a frozen key would bias the entropy grad
+            rnn_kwargs["entropy_key"] = entropy_key
         res = self.model.forward_train(
             params, norm, self._actor_obs(mb["obses"]), mb["actions"],
             **rnn_kwargs,

@@ -210,7 +210,7 @@ class Ant2DState:
 
 
 class Ant2D(JaxEnv):
-    """Planar quadruped locomotion. obs 27, act 8, episode 1000 steps."""
+    """Planar quadruped locomotion. obs 26, act 8, episode 1000 steps."""
 
     max_episode_steps = 1000
     OBS_DIM = 26  # z, pitch(sin,cos), 8 joints, 11 velocities, 4 contacts

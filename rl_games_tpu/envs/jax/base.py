@@ -115,11 +115,21 @@ class JaxVecEnv:
         )
         return state, obs
 
+    def _env_step(self, state: VecEnvState, actions, step_keys):
+        """Vmapped env step; subclasses thread extra per-step inputs here
+        (e.g. the self-play opponent's actions) without forking the
+        autoreset/truncation/final-obs contract below."""
+        return jax.vmap(self.env.step)(state.estate, actions, step_keys)
+
+    def _next_state(self, state: VecEnvState, estate, key, steps):
+        """Rebuild the vec-env state; subclasses carry extra fields."""
+        return VecEnvState(estate=estate, key=key, steps=steps)
+
     def step(self, state: VecEnvState, actions):
         key, step_key, reset_key = jax.random.split(state.key, 3)
         step_keys = jax.random.split(step_key, self.num_envs)
-        estate, obs, reward, terminated, info = jax.vmap(self.env.step)(
-            state.estate, actions, step_keys
+        estate, obs, reward, terminated, info = self._env_step(
+            state, actions, step_keys
         )
         steps = state.steps + 1
         terminated = terminated.astype(bool)
@@ -143,7 +153,7 @@ class JaxVecEnv:
         obs = jax.tree.map(pick, r_obs, obs)
         steps = jnp.where(done, 0, steps)
 
-        new_state = VecEnvState(estate=estate, key=key, steps=steps)
+        new_state = self._next_state(state, estate, key, steps)
         infos = dict(info or {})
         infos["time_outs"] = time_outs
         # same_step-style final-obs passthrough (the reference reads

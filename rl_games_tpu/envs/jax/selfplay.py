@@ -168,39 +168,18 @@ class SelfPlayJaxVecEnv(JaxVecEnv):
             opp_weights=None,
         ), obs
 
-    def step(self, state: "SelfPlayVecEnvState", actions):
+    # step() itself is inherited: only the vmapped env call (opponent
+    # actions threaded in) and the state rebuild (opp_weights carried)
+    # differ — the autoreset/truncation/final-obs contract lives once in
+    # JaxVecEnv.step (base.py)
+    def _env_step(self, state: "SelfPlayVecEnvState", actions, step_keys):
         opp_actions = self._opp_actions(state)
-        key, step_key, reset_key = jax.random.split(state.key, 3)
-        step_keys = jax.random.split(step_key, self.num_envs)
-        estate, obs, reward, terminated, info = jax.vmap(self.env.step)(
+        return jax.vmap(self.env.step)(
             state.estate, actions, step_keys, opp_actions
         )
-        steps = state.steps + 1
-        terminated = terminated.astype(bool)
-        if self.max_episode_steps is not None:
-            truncated = steps >= self.max_episode_steps
-        else:
-            truncated = jnp.zeros_like(terminated)
-        done = terminated | truncated
-        time_outs = truncated & (~terminated)
 
-        reset_keys = jax.random.split(reset_key, self.num_envs)
-        r_estate, r_obs = jax.vmap(self.env.reset)(reset_keys)
-
-        def pick(new, old):
-            d = done.reshape(done.shape + (1,) * (old.ndim - 1))
-            return jnp.where(d, new, old)
-
-        final_obs = obs
-        estate = jax.tree.map(pick, r_estate, estate)
-        obs = jax.tree.map(pick, r_obs, obs)
-        steps = jnp.where(done, 0, steps)
-
-        new_state = SelfPlayVecEnvState(
+    def _next_state(self, state: "SelfPlayVecEnvState", estate, key, steps):
+        return SelfPlayVecEnvState(
             estate=estate, key=key, steps=steps,
             opp_weights=state.opp_weights,
         )
-        infos = dict(info or {})
-        infos["time_outs"] = time_outs
-        infos["final_observation"] = final_obs
-        return new_state, obs, reward, done, infos

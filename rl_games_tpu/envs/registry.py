@@ -418,12 +418,19 @@ register_vecenv_type("CONNECT4", _create_connect4_vecenv)
 
 def _create_selfplay_vecenv(cfg, num_actors, **kwargs):
     """Self-play device env (embedded opponent weights; the
-    RayWorker.set_weights analog)."""
+    RayWorker.set_weights analog). Same contract as _create_jax_vecenv:
+    env_config/kwargs feed the env constructor, max_episode_steps is
+    honored, and other JAX_SELFPLAY registrations supply env_creator."""
     from rl_games_tpu.envs.jax.selfplay import (
         CompetitiveForage, SelfPlayJaxVecEnv,
     )
 
-    return SelfPlayJaxVecEnv(CompetitiveForage(), num_actors)
+    kwargs.pop("seed", None)  # device envs seed via the agent's PRNG key
+    creator = cfg.get("env_creator", CompetitiveForage)
+    env = creator(**{**cfg.get("env_config", {}), **kwargs})
+    return SelfPlayJaxVecEnv(
+        env, num_actors, max_episode_steps=cfg.get("max_episode_steps")
+    )
 
 
 register("competitive_forage", {"vecenv_type": "JAX_SELFPLAY"})

@@ -57,15 +57,6 @@ def torch_default_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def torch_default_bias_init_for(fan_in: int):
-    bound = 1.0 / float(fan_in) ** 0.5
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
-
-
 def get_initializer(cfg: Optional[dict]):
     """Map a reference initializer config {'name': ..., **kw} to a flax init."""
     if not cfg:
@@ -99,37 +90,36 @@ def get_initializer(cfg: Optional[dict]):
 
 
 class Dense(nn.Module):
-    """nn.Dense with torch-style default bias init (zeros when a custom
-    kernel init is configured, mirroring the reference's zero-bias pass
-    network_builder.py:336-343)."""
+    """nn.Dense following the reference builders' init convention: the
+    zero-bias pass runs over EVERY nn.Linear regardless of the configured
+    initializer — 'default' only means the weight keeps torch's
+    kaiming-uniform (init_factory maps it to nn.Identity), the bias is
+    still zeroed (network_builder.py:330-338 A2CBuilder, :1025-1033
+    SACBuilder). Known documented deviation: the reference's
+    A2CResnetBuilder (:767-775) skips the zero-bias pass and keeps torch's
+    uniform biases on its MLP; our merged builder applies the A2C
+    convention to the impala family too."""
 
     features: int
     kernel_init: Callable = torch_default_kernel_init
-    torch_default: bool = True
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1]
-        bias_init = (
-            torch_default_bias_init_for(fan_in)
-            if self.torch_default
-            else jax.nn.initializers.zeros
-        )
         return nn.Dense(
-            self.features, kernel_init=self.kernel_init, bias_init=bias_init
+            self.features,
+            kernel_init=self.kernel_init,
+            bias_init=jax.nn.initializers.zeros,
         )(x)
 
 
 def make_dense(features, init_cfg: Optional[dict], name: Optional[str] = None):
-    """Dense whose init follows the reference convention: custom inits come
-    with zeroed biases (network_builder.py:336-343); 'default' keeps torch's
-    Linear default for both."""
+    """Dense with reference init: configured weight init ('default' =
+    torch's kaiming-uniform) + unconditional zero bias."""
     if not init_cfg or init_cfg.get("name", "default") == "default":
-        return Dense(features, torch_default=True, name=name)
+        return Dense(features, name=name)
     return Dense(
         features,
         kernel_init=get_initializer(init_cfg),
-        torch_default=False,
         name=name,
     )
 

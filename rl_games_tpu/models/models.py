@@ -223,6 +223,7 @@ class ModelA2CContinuousTanh(BaseModel):
     log-probs, sampled entropy."""
 
     is_continuous = True
+    sampled_entropy = True  # forward_train wants a fresh entropy_key
 
     def __init__(self, network, *, space_cfg=None, **kw):
         super().__init__(network, **kw)

@@ -56,8 +56,8 @@ def ppo_state_shardings(state, mesh: Mesh):
             if _path_has(path, "key") or np.ndim(leaf) == 0:
                 return repl
             return data
-        if top == "rnn_states":
-            return rnn
+        if top in ("rnn_states", "cv_rnn_states"):
+            return rnn  # [layers, N_envs, units]: per-env state on 'data'
         return repl
 
     return tree_map_with_path(pick, state)

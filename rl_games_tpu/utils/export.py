@@ -30,7 +30,12 @@ def make_deterministic_policy_fn(model, net_params, norm,
         if action_space is not None and hasattr(action_space, "low"):
             low = jnp.asarray(action_space.low, jnp.float32)
             high = jnp.asarray(action_space.high, jnp.float32)
-            if np.all(np.isfinite([action_space.low, action_space.high])):
+            # low/high may independently be scalar or per-dim arrays
+            # (convert_space collapses uniform bounds) — check each alone,
+            # a combined np.asarray would be ragged and raise
+            if np.all(np.isfinite(action_space.low)) and np.all(
+                np.isfinite(action_space.high)
+            ):
                 a = jnp.clip(actions, -1.0, 1.0)
                 actions = a * (high - low) / 2.0 + (high + low) / 2.0
         return actions

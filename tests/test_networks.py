@@ -237,6 +237,29 @@ def test_torch_default_init_scale():
     assert np.abs(kernel).max() > bound * 0.9
 
 
+def test_default_initializer_zeroes_all_biases():
+    """The reference's init loop zeroes EVERY Linear bias regardless of the
+    configured initializer — 'default' only keeps the torch weight init
+    (network_builder.py:330-338); the builder net must match."""
+    net = A2CNetwork.create(
+        mlp_params(separate=True), actions_num=3, input_shape=(8,)
+    )
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.ones((2, 8), jnp.float32)
+    )
+
+    found = []
+
+    def check(path, leaf):
+        if getattr(path[-1], "key", None) == "bias":
+            found.append(path)
+            assert float(np.abs(np.asarray(leaf)).max()) == 0.0, path
+        return leaf
+
+    jax.tree_util.tree_map_with_path(check, params)
+    assert len(found) >= 6  # actor/critic trunks + value + mu heads
+
+
 def test_tanh_model_train_play_consistency():
     """'continuous_a2c_tanh' (Brax-style NormalTanh policy)."""
     params = {
