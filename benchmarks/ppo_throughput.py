@@ -6,7 +6,8 @@ column, GPU).  This harness measures the analogous number here — the FULL
 fused training epoch (rollout scan + GAE + minibatch updates, one device
 program) per morphology class:
 
-  Ant2D    — quadruped, the Brax Ant analog      (bench.py's workload)
+  Ant3D    — full-3D 14-DoF quadruped, the direct Brax Ant analog
+  Ant2D    — planar quadruped, the Brax Ant analog (bench.py's workload)
   Walker2D — upright biped, the Humanoid analog
   Arm2D    — torque-controlled reacher, the ur5e analog
 
@@ -34,6 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # reference docs/BRAX.md:20-24, "step" env-steps/s on GPU
 BRAX_STEP_FPS = {
+    "Ant3D": ("Brax Ant", 1_692_066.0),
     "Ant2D": ("Brax Ant", 1_692_066.0),
     "Walker2D": ("Brax Humanoid", 1_244_450.0),
     "Arm2D": ("Brax ur5e", 1_116_872.0),
@@ -66,7 +68,7 @@ def bench_env(env_name, num_actors, n_epochs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", default="Ant2D,Walker2D,Arm2D")
+    ap.add_argument("--envs", default="Ant3D,Ant2D,Walker2D,Arm2D")
     ap.add_argument("--num-actors", type=int, default=8192)
     ap.add_argument("--epochs", type=int, default=30)
     args = ap.parse_args()

@@ -1,0 +1,274 @@
+"""Ant3D — a full 3D device-resident quadruped-locomotion environment.
+
+The 3D counterpart of Ant2D (ant2d.py) and the direct analog of the
+reference's Brax/MuJoCo Ant benchmark workload (reference docs/BRAX.md:20,
+envs/brax.py; the image ships neither brax nor MJX): a free-floating torso
+(6 DOF: x, y, z, roll, pitch, yaw) with 4 legs x (hip swing + knee bend)
+= 8 actuated hinges, 14 generalized coordinates total, with 3D ground
+contacts under all four feet.
+
+Same derive-don't-hand-code scheme as Ant2D — the equations of motion come
+from autodiff of plain-JAX energy functions:
+
+    M(q)        = d²T/dqdot²                        (jax.hessian)
+    bias(q,qd)  = d/dt(dT/dqdot) - dT/dq + dV/dq    (jvp of grad)
+    qddot       = chol_solve(M, tau + J_cᵀ f_contact - bias - damping)
+
+Rotational kinetic energy uses the SO(3) identity ‖Ṙ‖²_F = 2|ω|², exact
+for the (isotropic-inertia) spheres/stubby links used here, so T stays a
+plain function of (q, qd) and the whole Lagrangian pipeline is unchanged
+from the planar case. Base orientation is parameterized by z-y-x Euler
+angles; the gimbal singularity at pitch = ±π/2 is unreachable because the
+episode terminates (unhealthy) at |pitch| > 0.9 rad, exactly as MuJoCo Ant
+terminates on torso attitude/height.
+
+The 14x14 mass-matrix solve uses the same fully-unrolled scalar Cholesky
+as Ant2D (never feed batched tiny linear algebra to XLA's decomposition
+ops on TPU — docs/PERF.md).
+
+Reward mirrors MuJoCo/Brax Ant: forward (x) velocity + alive bonus
+- control cost; terminates when the torso falls or tips over.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rl_games_tpu.envs.jax.base import JaxEnv
+from rl_games_tpu.envs.jax.ant2d import _chol_factor, _chol_solve
+from rl_games_tpu.envs.spaces import Box, EnvInfo
+
+# ---------------------------------------------------------------------------
+# Morphology: spherical torso + 4 legs x (thigh, shin), full 3D
+# ---------------------------------------------------------------------------
+
+NQ = 14  # x, y, z, roll, pitch, yaw, 4 x (hip, knee)
+N_LEGS = 4
+TORSO_M = 1.0
+TORSO_I = 0.05
+TORSO_R = 0.25  # hip anchors sit on this radius
+LINK_M = 0.15
+LINK_L = 0.28
+LINK_I = LINK_M * LINK_L**2 / 12.0
+# leg azimuths in the torso frame (front-left, back-left, back-right,
+# front-right — the MuJoCo Ant layout)
+LEG_AZIMUTH = jnp.asarray([0.25, 0.75, 1.25, 1.75]) * jnp.pi
+GRAVITY = 9.81
+DT = 0.02
+SUBSTEPS = 4
+JOINT_DAMPING = 0.08
+TORQUE_SCALE = 2.2
+K_GROUND = 900.0
+D_GROUND = 9.0
+MU_FRICTION = 0.9
+# per-joint soft limits: hips swing +-0.7 rad, knees bend 0.25..1.45 rad
+# below horizontal (MuJoCo Ant's hip +-30deg / ankle 30-70deg ranges,
+# widened slightly for the soft-penalty formulation)
+JOINT_LO = jnp.tile(jnp.asarray([-0.7, 0.25]), N_LEGS)
+JOINT_HI = jnp.tile(jnp.asarray([0.7, 1.45]), N_LEGS)
+KNEE_INIT = 0.9
+
+
+def _euler_to_matrix(rpy):
+    """World-from-body rotation R = Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
+    cr, sr = jnp.cos(rpy[0]), jnp.sin(rpy[0])
+    cp, sp = jnp.cos(rpy[1]), jnp.sin(rpy[1])
+    cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
+    return jnp.asarray(
+        [
+            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ]
+    )
+
+
+def _link_frames(q):
+    """COM positions + orientations of all 9 bodies and the 4 foot tips.
+
+    Vectorized over legs. Body order: torso, 4 thighs, 4 shins.
+    Thighs extend horizontally outward (torso frame) at azimuth
+    LEG_AZIMUTH + hip_q; shins continue in the same vertical plane, tilted
+    knee_q below horizontal. Returns (coms [9, 3], Rs [9, 3, 3],
+    feet [4, 3]).
+    """
+    pos = q[0:3]
+    R = _euler_to_matrix(q[3:6])
+    hip_q = q[6::2]  # [4]
+    knee_q = q[7::2]  # [4]
+    gam = LEG_AZIMUTH + hip_q  # [4] leg direction azimuth (torso frame)
+    cg, sg = jnp.cos(gam), jnp.sin(gam)
+    zeros = jnp.zeros_like(gam)
+    # thigh direction (torso frame): horizontal outward
+    d1 = jnp.stack([cg, sg, zeros], axis=-1)  # [4, 3]
+    # shin direction: tilted knee_q below horizontal in the leg's plane
+    ck, sk = jnp.cos(knee_q), jnp.sin(knee_q)
+    d2 = jnp.stack([ck * cg, ck * sg, -sk], axis=-1)  # [4, 3]
+    anchors = pos[None, :] + (TORSO_R * d1) @ R.T  # [4, 3] world
+    d1w = d1 @ R.T
+    d2w = d2 @ R.T
+    thigh_com = anchors + 0.5 * LINK_L * d1w
+    knees = anchors + LINK_L * d1w
+    shin_com = knees + 0.5 * LINK_L * d2w
+    feet = knees + LINK_L * d2w
+
+    # link orientations (world-from-link): thigh = R @ Rz(gam),
+    # shin = R @ Rz(gam) @ Ry(knee)  (x axis along the link)
+    def _leg_R(cg_, sg_, ck_, sk_):
+        Rz = jnp.asarray(
+            [[cg_, -sg_, 0.0], [sg_, cg_, 0.0], [0.0, 0.0, 1.0]]
+        )
+        Ry = jnp.asarray(
+            [[ck_, 0.0, -sk_], [0.0, 1.0, 0.0], [sk_, 0.0, ck_]]
+        )
+        thigh_R = R @ Rz
+        return thigh_R, thigh_R @ Ry
+
+    thigh_R, shin_R = jax.vmap(_leg_R)(cg, sg, ck, sk)  # [4,3,3] each
+    coms = jnp.concatenate([pos[None, :], thigh_com, shin_com], axis=0)
+    Rs = jnp.concatenate([R[None], thigh_R, shin_R], axis=0)
+    return coms, Rs, feet
+
+
+_MASSES = jnp.asarray([TORSO_M] + [LINK_M] * (2 * N_LEGS))
+_INERTIAS = jnp.asarray([TORSO_I] + [LINK_I] * (2 * N_LEGS))
+
+
+def kinetic_energy(q, qd):
+    """T(q, qd) = 1/2 Σ m |v|² + 1/4 Σ I ‖Ṙ‖²_F.
+
+    The Frobenius form is the isotropic-inertia rotational energy:
+    ‖Ṙ‖²_F = ‖ω̂‖²_F = 2|ω|² for R ∈ SO(3), so 1/4·I·‖Ṙ‖² = 1/2·I·|ω|².
+    One jvp through the kinematics gives all body velocities (same scheme
+    as ant2d.kinetic_energy — every autodiff pass differentiates a cheap
+    primal)."""
+    _, (vcoms, Rdots, _) = jax.jvp(_link_frames, (q,), (qd,))
+    return 0.5 * jnp.sum(
+        _MASSES[:, None] * vcoms * vcoms
+    ) + 0.25 * jnp.sum(_INERTIAS[:, None, None] * Rdots * Rdots)
+
+
+def potential_energy(q):
+    coms, _, _ = _link_frames(q)
+    return GRAVITY * jnp.sum(_MASSES * coms[:, 2])
+
+
+def _step_factors(q, qd):
+    """chol(M(q)), bias, foot jacobian — computed once per control step and
+    frozen across integration substeps (ant2d._step_factors scheme)."""
+    M = jax.hessian(kinetic_energy, argnums=1)(q, qd)
+    dTdqd = lambda qq, qqd: jax.grad(kinetic_energy, argnums=1)(qq, qqd)
+    coriolis = jax.jvp(lambda qq: dTdqd(qq, qd), (q,), (qd,))[1]
+    grav = jax.grad(potential_energy)(q)
+    dTdq = jax.grad(kinetic_energy, argnums=0)(q, qd)
+    bias = coriolis - dTdq + grav
+    cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
+    feet_jac = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)  # [4, 3, NQ]
+    return cho, bias, feet_jac
+
+
+def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac):
+    """Per-substep forces (3D contacts, damping, joint limits) + solve."""
+    tau = jnp.zeros(NQ).at[6:].set(TORQUE_SCALE * tau_joints)
+    tau = tau.at[6:].add(-JOINT_DAMPING * qd[6:])
+    joint_q = q[6:]
+    limit_force = -8.0 * (
+        jnp.maximum(joint_q - JOINT_HI, 0.0)
+        + jnp.minimum(joint_q - JOINT_LO, 0.0)
+    )
+    tau = tau.at[6:].add(limit_force)
+
+    # foot contacts: penalty normal (z) + Coulomb-style tangential friction
+    # in the ground plane
+    feet = _link_frames(q)[2]
+    feet_vel = feet_jac @ qd  # [4, 3]
+    depth = jnp.maximum(-feet[:, 2], 0.0)
+    in_contact = depth > 0.0
+    fn_mag = K_GROUND * depth - D_GROUND * feet_vel[:, 2] * in_contact
+    fn_mag = jnp.maximum(fn_mag, 0.0) * in_contact
+    ft = -MU_FRICTION * fn_mag[:, None] * jnp.tanh(feet_vel[:, :2] * 10.0)
+    f_contact = jnp.concatenate([ft, fn_mag[:, None]], axis=-1)  # [4, 3]
+    tau_contact = jnp.einsum("fcq,fc->q", feet_jac, f_contact)
+
+    rhs = tau + tau_contact - bias
+    return _chol_solve(cho, rhs)
+
+
+@struct.dataclass
+class Ant3DState:
+    q: jnp.ndarray
+    qd: jnp.ndarray
+    last_x: jnp.ndarray
+
+
+class Ant3D(JaxEnv):
+    """3D quadruped locomotion. obs 33, act 8, episode 1000 steps."""
+
+    max_episode_steps = 1000
+    # z, orientation 6D (first two R columns), 8 joints, 14 velocities,
+    # 4 contacts
+    OBS_DIM = 33
+
+    def env_info(self):
+        return EnvInfo(
+            observation_space=Box(shape=(self.OBS_DIM,)),
+            action_space=Box(shape=(2 * N_LEGS,), low=-1.0, high=1.0),
+        )
+
+    def _obs(self, state: Ant3DState):
+        q, qd = state.q, state.qd
+        _, Rs, feet = _link_frames(q)
+        R = Rs[0]
+        contacts = (feet[:, 2] < 0.005).astype(jnp.float32)
+        return jnp.concatenate(
+            [
+                q[2:3],                       # torso height
+                R[:, 0], R[:, 1],             # orientation (6D rotation rep)
+                q[6:],                        # joint angles
+                jnp.clip(qd, -10.0, 10.0),    # all velocities
+                contacts,
+            ]
+        )
+
+    def reset(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = jnp.zeros(NQ)
+        # feet at z = base_z - L*sin(knee): start just touching the ground
+        q = q.at[2].set(LINK_L * jnp.sin(KNEE_INIT) + 0.01)
+        q = q.at[6:].set(
+            jnp.tile(jnp.asarray([0.0, KNEE_INIT]), N_LEGS)
+            + 0.08 * jax.random.normal(k1, (2 * N_LEGS,))
+        )
+        q = q.at[3:6].add(0.02 * jax.random.normal(k3, (3,)))
+        qd = 0.02 * jax.random.normal(k2, (NQ,))
+        state = Ant3DState(q=q, qd=qd, last_x=q[0])
+        return state, self._obs(state)
+
+    def step(self, estate: Ant3DState, action, key):
+        action = jnp.clip(action, -1.0, 1.0)
+        q, qd = estate.q, estate.qd
+        h = DT / SUBSTEPS
+        cho, bias, feet_jac = _step_factors(q, qd)
+
+        def substep(carry, _):
+            q, qd = carry
+            qdd = _substep_qdd(q, qd, action, cho, bias, feet_jac)
+            qd = jnp.clip(qd + h * qdd, -50.0, 50.0)
+            q = q + h * qd
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=SUBSTEPS)
+
+        fwd_vel = (q[0] - estate.last_x) / DT
+        ctrl_cost = 0.25 * jnp.sum(jnp.square(action))
+        alive = 1.0
+        reward = fwd_vel + alive - ctrl_cost
+
+        torso_low = q[2] < 0.11
+        # tipping over also keeps pitch far from the +-pi/2 Euler
+        # singularity (see module docstring)
+        tipped = (jnp.abs(q[3]) > 0.9) | (jnp.abs(q[4]) > 0.9)
+        terminated = torso_low | tipped
+
+        state = Ant3DState(q=q, qd=qd, last_x=q[0])
+        return state, self._obs(state), reward, terminated, {}

@@ -104,6 +104,15 @@ def _create_ant2d():
 register("Ant2D", {"vecenv_type": "JAX", "env_creator": _create_ant2d})
 
 
+def _create_ant3d():
+    from rl_games_tpu.envs.jax.ant3d import Ant3D
+
+    return Ant3D()
+
+
+register("Ant3D", {"vecenv_type": "JAX", "env_creator": _create_ant3d})
+
+
 def _create_cheetah2d():
     from rl_games_tpu.envs.jax.locomotion2d import Cheetah2D
 
