@@ -6,10 +6,11 @@ column, GPU).  This harness measures the analogous number here — the FULL
 fused training epoch (rollout scan + GAE + minibatch updates, one device
 program) per morphology class:
 
-  Ant3D    — full-3D 14-DoF quadruped, the direct Brax Ant analog
-  Ant2D    — planar quadruped, the Brax Ant analog (bench.py's workload)
-  Walker2D — upright biped, the Humanoid analog
-  Arm2D    — torque-controlled reacher, the ur5e analog
+  Ant3D      — full-3D 14-DoF quadruped, the direct Brax Ant analog
+  Humanoid3D — full-3D 18-DoF biped, the direct Brax Humanoid analog
+  Ant2D      — planar quadruped, the Brax Ant analog (bench.py's workload)
+  Walker2D   — planar upright biped, the Humanoid analog
+  Arm2D      — torque-controlled reacher, the ur5e analog
 
 Method (see docs/PERF.md): epochs are CHAINED (state feeds the next call)
 with ONE host readback at the end; the readback fences the chain, so the
@@ -37,6 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BRAX_STEP_FPS = {
     "Ant3D": ("Brax Ant", 1_692_066.0),
     "Ant2D": ("Brax Ant", 1_692_066.0),
+    "Humanoid3D": ("Brax Humanoid", 1_244_450.0),
     "Walker2D": ("Brax Humanoid", 1_244_450.0),
     "Arm2D": ("Brax ur5e", 1_116_872.0),
 }
@@ -68,7 +70,7 @@ def bench_env(env_name, num_actors, n_epochs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", default="Ant3D,Ant2D,Walker2D,Arm2D")
+    ap.add_argument("--envs", default="Ant3D,Humanoid3D,Ant2D,Walker2D,Arm2D")
     ap.add_argument("--num-actors", type=int, default=8192)
     ap.add_argument("--epochs", type=int, default=30)
     args = ap.parse_args()

@@ -30,12 +30,26 @@ Reward mirrors MuJoCo/Brax Ant: forward (x) velocity + alive bonus
 - control cost; terminates when the torso falls or tips over.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from rl_games_tpu.envs.jax.base import JaxEnv
 from rl_games_tpu.envs.jax.ant2d import _chol_factor, _chol_solve
+from rl_games_tpu.envs.jax.lagrangian import (
+    euler_zyx,
+    lagrangian_factors,
+    mat_mul,
+    mat_vec,
+    rot_y,
+    rot_z,
+    stack_mat,
+    stack_vec,
+    v_add,
+    v_scale,
+)
 from rl_games_tpu.envs.spaces import Box, EnvInfo
 
 # ---------------------------------------------------------------------------
@@ -52,7 +66,9 @@ LINK_L = 0.28
 LINK_I = LINK_M * LINK_L**2 / 12.0
 # leg azimuths in the torso frame (front-left, back-left, back-right,
 # front-right — the MuJoCo Ant layout)
-LEG_AZIMUTH = jnp.asarray([0.25, 0.75, 1.25, 1.75]) * jnp.pi
+# plain Python floats: consumed as trace-time constants by the scalar-form
+# kinematics (a jnp constant would need a concretizing readback mid-trace)
+LEG_AZIMUTH = tuple(f * math.pi for f in (0.25, 0.75, 1.25, 1.75))
 GRAVITY = 9.81
 DT = 0.02
 SUBSTEPS = 4
@@ -86,48 +102,44 @@ def _euler_to_matrix(rpy):
 def _link_frames(q):
     """COM positions + orientations of all 9 bodies and the 4 foot tips.
 
-    Vectorized over legs. Body order: torso, 4 thighs, 4 shins.
-    Thighs extend horizontally outward (torso frame) at azimuth
-    LEG_AZIMUTH + hip_q; shins continue in the same vertical plane, tilted
-    knee_q below horizontal. Returns (coms [9, 3], Rs [9, 3, 3],
-    feet [4, 3]).
+    Body order: torso, 4 thighs, 4 shins. Thighs extend horizontally
+    outward (torso frame) at azimuth LEG_AZIMUTH + hip_q; shins continue
+    in the same vertical plane, tilted knee_q below horizontal. Returns
+    (coms [9, 3], Rs [9, 3, 3], feet [4, 3]).
+
+    Written in SCALAR form — tuples of per-env scalars, unrolled over
+    legs, arrays stacked only at the end — so every batched intermediate
+    is a full [B] vector on TPU (lagrangian.py module docstring; the
+    vectorized-over-legs form put 3- and 4-wide dims in the 128-lane
+    axis and was ~40× slower end-to-end).
     """
-    pos = q[0:3]
-    R = _euler_to_matrix(q[3:6])
-    hip_q = q[6::2]  # [4]
-    knee_q = q[7::2]  # [4]
-    gam = LEG_AZIMUTH + hip_q  # [4] leg direction azimuth (torso frame)
-    cg, sg = jnp.cos(gam), jnp.sin(gam)
-    zeros = jnp.zeros_like(gam)
-    # thigh direction (torso frame): horizontal outward
-    d1 = jnp.stack([cg, sg, zeros], axis=-1)  # [4, 3]
-    # shin direction: tilted knee_q below horizontal in the leg's plane
-    ck, sk = jnp.cos(knee_q), jnp.sin(knee_q)
-    d2 = jnp.stack([ck * cg, ck * sg, -sk], axis=-1)  # [4, 3]
-    anchors = pos[None, :] + (TORSO_R * d1) @ R.T  # [4, 3] world
-    d1w = d1 @ R.T
-    d2w = d2 @ R.T
-    thigh_com = anchors + 0.5 * LINK_L * d1w
-    knees = anchors + LINK_L * d1w
-    shin_com = knees + 0.5 * LINK_L * d2w
-    feet = knees + LINK_L * d2w
+    pos = (q[0], q[1], q[2])
+    R = euler_zyx(q[3], q[4], q[5])
 
-    # link orientations (world-from-link): thigh = R @ Rz(gam),
-    # shin = R @ Rz(gam) @ Ry(knee)  (x axis along the link)
-    def _leg_R(cg_, sg_, ck_, sk_):
-        Rz = jnp.asarray(
-            [[cg_, -sg_, 0.0], [sg_, cg_, 0.0], [0.0, 0.0, 1.0]]
-        )
-        Ry = jnp.asarray(
-            [[ck_, 0.0, -sk_], [0.0, 1.0, 0.0], [sk_, 0.0, ck_]]
-        )
-        thigh_R = R @ Rz
-        return thigh_R, thigh_R @ Ry
+    thigh_coms, shin_coms, thigh_Rs, shin_Rs, feet = [], [], [], [], []
+    for leg in range(N_LEGS):
+        az = LEG_AZIMUTH[leg]
+        hip, knee = q[6 + 2 * leg], q[7 + 2 * leg]
+        gam = az + hip
+        cg, sg = jnp.cos(gam), jnp.sin(gam)
+        ck, sk = jnp.cos(knee), jnp.sin(knee)
+        d1 = (cg, sg, 0.0)            # thigh dir, torso frame
+        d2 = (ck * cg, ck * sg, -sk)  # shin dir
+        d1w = mat_vec(R, d1)
+        d2w = mat_vec(R, d2)
+        anchor = v_add(pos, v_scale(TORSO_R, d1w))
+        thigh_coms.append(v_add(anchor, v_scale(0.5 * LINK_L, d1w)))
+        knee_p = v_add(anchor, v_scale(LINK_L, d1w))
+        shin_coms.append(v_add(knee_p, v_scale(0.5 * LINK_L, d2w)))
+        feet.append(v_add(knee_p, v_scale(LINK_L, d2w)))
+        # world-from-link: thigh = R @ Rz(gam), shin = thigh_R @ Ry(knee)
+        thigh_R = mat_mul(R, rot_z(gam))
+        thigh_Rs.append(thigh_R)
+        shin_Rs.append(mat_mul(thigh_R, rot_y(knee)))
 
-    thigh_R, shin_R = jax.vmap(_leg_R)(cg, sg, ck, sk)  # [4,3,3] each
-    coms = jnp.concatenate([pos[None, :], thigh_com, shin_com], axis=0)
-    Rs = jnp.concatenate([R[None], thigh_R, shin_R], axis=0)
-    return coms, Rs, feet
+    coms = stack_vec([pos] + thigh_coms + shin_coms)
+    Rs = stack_mat([R] + thigh_Rs + shin_Rs)
+    return coms, Rs, stack_vec(feet)
 
 
 _MASSES = jnp.asarray([TORSO_M] + [LINK_M] * (2 * N_LEGS))
@@ -155,15 +167,17 @@ def potential_energy(q):
 
 def _step_factors(q, qd):
     """chol(M(q)), bias, foot jacobian — computed once per control step and
-    frozen across integration substeps (ant2d._step_factors scheme)."""
-    M = jax.hessian(kinetic_energy, argnums=1)(q, qd)
-    dTdqd = lambda qq, qqd: jax.grad(kinetic_energy, argnums=1)(qq, qqd)
-    coriolis = jax.jvp(lambda qq: dTdqd(qq, qd), (q,), (qd,))[1]
-    grav = jax.grad(potential_energy)(q)
-    dTdq = jax.grad(kinetic_energy, argnums=0)(q, qd)
-    bias = coriolis - dTdq + grav
+    frozen across integration substeps (ant2d._step_factors scheme).
+
+    Uses the Jacobian point-mass formulation (lagrangian.py: M = JᵀWJ,
+    bias = JᵀW·J̇q̇ + ∇V from ONE jacfwd + one jvp-of-jvp) instead of
+    jax.hessian of the energy — the hessian lowering alone cost 23 ms for
+    8192 envs on TPU, the entire control step (docs/PERF.md). Equivalence
+    with the energy form is asserted in tests/test_ant3d.py."""
+    M, bias, feet_jac = lagrangian_factors(
+        _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
+    )
     cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
-    feet_jac = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)  # [4, 3, NQ]
     return cho, bias, feet_jac
 
 

@@ -113,6 +113,17 @@ def _create_ant3d():
 register("Ant3D", {"vecenv_type": "JAX", "env_creator": _create_ant3d})
 
 
+def _create_humanoid3d():
+    from rl_games_tpu.envs.jax.humanoid3d import Humanoid3D
+
+    return Humanoid3D()
+
+
+register(
+    "Humanoid3D", {"vecenv_type": "JAX", "env_creator": _create_humanoid3d}
+)
+
+
 def _create_cheetah2d():
     from rl_games_tpu.envs.jax.locomotion2d import Cheetah2D
 

@@ -1,87 +1,63 @@
-"""Ant3D device-physics tests: 3D energy sanity, mass-matrix conditioning,
-rotational-KE identity, stability, contract."""
+"""Humanoid3D device-physics tests: energy sanity, mass-matrix
+conditioning, standing stability, contract (test_ant3d.py pattern)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rl_games_tpu.envs.jax.ant3d import (
-    Ant3D,
-    KNEE_INIT,
-    LINK_L,
+from rl_games_tpu.envs.jax.humanoid3d import (
+    Humanoid3D,
     NQ,
-    TORSO_I,
-    _euler_to_matrix,
+    NU,
+    _MASSES,
+    _init_q,
+    _link_frames,
     kinetic_energy,
     potential_energy,
 )
 from rl_games_tpu.envs.jax.base import JaxVecEnv
 
 
-def _stand_q():
-    return (
-        jnp.zeros(NQ)
-        .at[2]
-        .set(LINK_L * float(jnp.sin(KNEE_INIT)) + 0.01)
-        .at[7::2]
-        .set(KNEE_INIT)
-    )
-
-
 def test_energy_functions():
-    q = _stand_q()
+    q = _init_q()
     qd = jnp.zeros(NQ)
     assert float(kinetic_energy(q, qd)) == 0.0
     # pure translation: T = 1/2 m_total v² in every direction
-    total_mass = 1.0 + 8 * 0.15
+    total_mass = float(jnp.sum(_MASSES))
     for axis in range(3):
         qd2 = qd.at[axis].set(1.0)
         np.testing.assert_allclose(
             float(kinetic_energy(q, qd2)), 0.5 * total_mass, rtol=1e-5
         )
-    # potential energy increases with height
     assert float(potential_energy(q.at[2].add(0.5))) > float(
         potential_energy(q)
     )
 
 
-def test_rotational_ke_isotropic_identity():
-    """Pure yaw spin about the torso center: the torso's share of T must be
-    exactly 1/2·I·ω² (the ‖Ṙ‖²_F = 2|ω|² identity), plus the legs' orbital
-    + spin terms which must make T grow quadratically in ω."""
-    q = _stand_q()
-    w = 2.0
-    t1 = float(kinetic_energy(q, jnp.zeros(NQ).at[5].set(1.0)))
-    t2 = float(kinetic_energy(q, jnp.zeros(NQ).at[5].set(w)))
-    np.testing.assert_allclose(t2, w**2 * t1, rtol=1e-5)
-    assert t1 > 0.5 * TORSO_I  # torso spin + leg terms
-
-
-def test_euler_matrix_orthonormal():
-    rng = np.random.default_rng(3)
-    for _ in range(5):
-        rpy = jnp.asarray(rng.uniform(-1.0, 1.0, size=3), jnp.float32)
-        R = np.asarray(_euler_to_matrix(rpy))
-        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
-        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+def test_init_pose_feet_on_ground():
+    q = _init_q()
+    pts = _link_frames(q)[2]
+    # all 4 contact points at or slightly above the ground, none below
+    assert float(pts[:, 2].min()) > 0.0
+    assert float(pts[:, 2].min()) < 0.02
+    # left/right symmetry of the pose
+    np.testing.assert_allclose(
+        np.asarray(pts[0:2, 2]), np.asarray(pts[2:4, 2]), atol=1e-6
+    )
 
 
 def test_jacobian_factors_match_energy_autodiff():
-    """The production dynamics path (lagrangian.lagrangian_factors:
-    M = JᵀWJ, bias = JᵀW·J̇q̇ + ∇V) must equal the energy-autodiff form
-    (hessian M, jvp-of-grad Coriolis) it replaced for speed
-    (docs/PERF.md)."""
-    from rl_games_tpu.envs.jax.ant3d import (
+    """Production dynamics (lagrangian.lagrangian_factors) vs the
+    energy-autodiff form (test_ant3d.py analog)."""
+    from rl_games_tpu.envs.jax.humanoid3d import (
         GRAVITY,
-        _MASSES,
         _INERTIAS,
-        _link_frames,
     )
     from rl_games_tpu.envs.jax.lagrangian import lagrangian_factors
 
     rng = np.random.default_rng(1)
     for _ in range(3):
-        q = jnp.asarray(rng.normal(size=NQ) * 0.3, jnp.float32)
+        q = jnp.asarray(rng.normal(size=NQ) * 0.25, jnp.float32)
         qd = jnp.asarray(rng.normal(size=NQ) * 0.5, jnp.float32)
         M_ref = jax.hessian(kinetic_energy, argnums=1)(q, qd)
         dTdqd = lambda qq, qqd: jax.grad(kinetic_energy, argnums=1)(qq, qqd)
@@ -109,8 +85,7 @@ def test_jacobian_factors_match_energy_autodiff():
 def test_mass_matrix_positive_definite():
     rng = np.random.default_rng(0)
     for _ in range(5):
-        # attitudes within the healthy band (|roll|,|pitch| < 0.9)
-        q = jnp.asarray(rng.normal(size=NQ) * 0.3, jnp.float32)
+        q = jnp.asarray(rng.normal(size=NQ) * 0.25, jnp.float32)
         M = jax.hessian(kinetic_energy, argnums=1)(q, jnp.zeros(NQ))
         eigs = np.linalg.eigvalsh(np.asarray(M))
         assert eigs.min() > 0
@@ -118,15 +93,15 @@ def test_mass_matrix_positive_definite():
 
 
 def test_rollout_stable_no_nans():
-    env = JaxVecEnv(Ant3D(), num_envs=16)
+    env = JaxVecEnv(Humanoid3D(), num_envs=16)
     state, obs = env.reset(jax.random.PRNGKey(0))
-    assert obs.shape == (16, 33)
+    assert obs.shape == (16, 41)
 
     def roll(state, key):
         def step(carry, _):
             s, k = carry
             k, ak = jax.random.split(k)
-            a = jax.random.uniform(ak, (16, 8), jnp.float32, -1.0, 1.0)
+            a = jax.random.uniform(ak, (16, NU), jnp.float32, -1.0, 1.0)
             s, o, r, d, i = env.step(s, a)
             return (s, k), (o, r)
 
@@ -141,19 +116,20 @@ def test_rollout_stable_no_nans():
     assert float(jnp.abs(rews).max()) < 50.0
 
 
-def test_standing_still_beats_falling():
-    """Zero torque from the init pose keeps most ants alive for a while —
-    the 3D contacts must support the body."""
-    env = JaxVecEnv(Ant3D(), num_envs=8)
+def test_standing_still_survives():
+    """Zero torque from the init pose: the heel/toe contacts + joint
+    limits must support the body for a while (it should not instantly
+    collapse or explode)."""
+    env = JaxVecEnv(Humanoid3D(), num_envs=8)
     state, obs = env.reset(jax.random.PRNGKey(2))
 
     def roll(state):
         def step(carry, _):
             s = carry
-            s, o, r, d, i = env.step(s, jnp.zeros((8, 8)))
+            s, o, r, d, i = env.step(s, jnp.zeros((8, NU)))
             return s, d
 
-        return jax.lax.scan(step, state, None, length=50)
+        return jax.lax.scan(step, state, None, length=60)
 
     _, dones = jax.jit(roll)(state)
     alive_steps = int((~dones.any(axis=1)).sum())
