@@ -38,6 +38,10 @@ def main():
     ap.add_argument("-f", "--file", type=str, required=True, help="yaml config")
     ap.add_argument("-na", "--num_actors", type=int, default=0)
     ap.add_argument("--sigma", type=float, default=None)
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma-separated seed list: train every seed "
+                         "simultaneously as one compiled vmapped program "
+                         "(device envs, PPO family)")
     ap.add_argument("--track", action="store_true", help="wandb tracking")
     ap.add_argument(
         "--wandb-project-name", type=str, default="rl_games_tpu"

@@ -191,8 +191,79 @@ class D2RLMLP(nn.Module):
         return x
 
 
+class _ParamsOnlyDense(nn.Module):
+    """Declares an nn.Dense-shaped (kernel, bias) param pair without the
+    matmul — lets FusedMLP own parameters whose tree is byte-identical to
+    MLP's (``Dense_{i}/Dense_0/{kernel,bias}``) while the compute runs in
+    the fused Pallas kernel."""
+
+    features: int
+    kernel_init: Callable = torch_default_kernel_init
+
+    @nn.compact
+    def __call__(self, in_dim):
+        k = self.param("kernel", self.kernel_init, (in_dim, self.features))
+        b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class FusedDense(nn.Module):
+    """Scope mirror of the Dense wrapper (outer Dense_{i} → inner Dense_0)."""
+
+    features: int
+    kernel_init: Callable = torch_default_kernel_init
+
+    @nn.compact
+    def __call__(self, in_dim):
+        return _ParamsOnlyDense(
+            self.features, self.kernel_init, name="Dense_0"
+        )(in_dim)
+
+
+class FusedMLP(nn.Module):
+    """Fully-fused sequential MLP — the TPU analog of the reference's
+    tiny-cuda-nn net (rl_games/networks/tcnn_mlp.py:6-43), selected with
+    ``network.mlp.fused: true``. Parameter tree and init convention are
+    identical to MLP (same Dense_{i} scopes, zero bias), so fused and
+    plain checkpoints are interchangeable; compute goes through
+    ops.fused_mlp (one Pallas kernel, all weights VMEM-resident, exact
+    custom-VJP gradients)."""
+
+    units: Sequence[int]
+    activation: str
+    initializer: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from rl_games_tpu.ops.fused_mlp import fused_mlp
+
+        if not self.initializer or self.initializer.get(
+            "name", "default"
+        ) == "default":
+            kinit = torch_default_kernel_init
+        else:
+            kinit = get_initializer(self.initializer)
+        ws, bs = [], []
+        d = x.shape[-1]
+        for i, unit in enumerate(self.units):
+            k, b = FusedDense(unit, kinit, name=f"Dense_{i}")(d)
+            ws.append(k)
+            bs.append(b)
+            d = unit
+        return fused_mlp(x, tuple(ws), tuple(bs), self.activation)
+
+
 def build_mlp(units, activation, initializer=None, norm_func_name=None,
-              d2rl=False, norm_only_first_layer=False, name=None):
+              d2rl=False, norm_only_first_layer=False, name=None,
+              fused=False):
+    if fused:
+        if d2rl or norm_func_name:
+            raise ValueError(
+                "mlp.fused: true supports the plain sequential MLP only "
+                "(no d2rl, no normalization) — same restriction as the "
+                "reference's tcnn net (networks/tcnn_mlp.py)."
+            )
+        return FusedMLP(units, activation, initializer, name=name)
     if d2rl:
         return D2RLMLP(units, activation, initializer, norm_func_name, name=name)
     return MLP(units, activation, initializer, norm_func_name,

@@ -157,6 +157,7 @@ class A2CNetwork(nn.Module):
                 d2rl=mlp_cfg.get("d2rl", False),
                 norm_only_first_layer=mlp_cfg.get("norm_only_first_layer", False),
                 name=name,
+                fused=mlp_cfg.get("fused", False),
             )
 
         rnn_cfg = cfg.get("rnn", {})

@@ -151,6 +151,8 @@ class Runner:
 
     def run_train(self, args: Dict[str, Any]):
         """torch_runner.py:233-321."""
+        if args.get("seeds"):
+            return self.run_train_multiseed(args)
         print("Started to train")
         agent = self.create_agent()
         # stop_fn: programmatic args win over YAML config (torch_runner.py
@@ -170,6 +172,82 @@ class Runner:
             stop_fn=stop_fn,
             **kwargs,
         )
+
+    def run_train_multiseed(self, args: Dict[str, Any]):
+        """`--seeds a,b,c`: train every seed simultaneously as ONE compiled
+        vmapped program (utils/multiseed.py — no reference analog; its
+        benchmark harness shells out one process per seed). Device-env PPO
+        only. Writes one curve log line per seed per log_interval and a
+        single-seed-compatible checkpoint per seed at the end."""
+        import os
+        import time
+
+        import jax
+
+        from rl_games_tpu.utils import checkpoint as ckpt
+        from rl_games_tpu.utils.multiseed import MultiSeedTrainer
+
+        seeds = args["seeds"]
+        if isinstance(seeds, str):
+            seeds = [int(s) for s in seeds.replace(",", " ").split()]
+        if self.algo_name == "sac":
+            raise ValueError(
+                "--seeds multi-seed training currently supports the PPO "
+                "family; run SAC seeds as separate processes "
+                "(benchmarks/sac_benchmark.py)"
+            )
+        print(f"Started to train {len(seeds)} seeds in one program: {seeds}")
+        agent = self.create_agent()
+        trainer = MultiSeedTrainer(agent, seeds)
+        stacked = trainer.init_state()
+        fn = trainer.train_fn()
+
+        config = self.params["config"]
+        name = config.get("name", "run")
+        max_epochs = int(config.get("max_epochs", 0)) or args.get(
+            "max_epochs", 1000
+        )
+        log_interval = int(config.get("log_interval", 10))
+        frames_per_epoch = trainer.frames_per_epoch() * len(seeds)
+        nn_dir = os.path.join(config.get("train_dir", "runs"), name, "nn")
+        os.makedirs(nn_dir, exist_ok=True)
+
+        start = time.perf_counter()
+        metrics = None
+        for epoch in range(1, max_epochs + 1):
+            stacked, metrics = fn(stacked)
+            if epoch % log_interval == 0 or epoch == max_epochs:
+                m = jax.device_get(metrics)
+                fps = frames_per_epoch * epoch / (
+                    time.perf_counter() - start
+                )
+                rews = " ".join(
+                    f"seed{s}: {float(m['mean_rewards'][i][0]):.2f}"
+                    for i, s in enumerate(seeds)
+                )
+                print(
+                    f"fps total: {fps:.0f} epoch: {epoch}/{max_epochs} "
+                    f"frames: {frames_per_epoch * epoch} {rews}",
+                    flush=True,
+                )
+        m = jax.device_get(metrics)
+        paths = []
+        for i, s in enumerate(seeds):
+            state_i = trainer.state_for_seed(stacked, i)
+            path = os.path.join(nn_dir, f"{name}_seed{s}.ckpt")
+            ckpt.save_checkpoint(
+                path, state_i,
+                meta={
+                    "epoch": max_epochs,
+                    "frame": trainer.frames_per_epoch() * max_epochs,
+                    "last_mean_rewards": float(m["mean_rewards"][i][0]),
+                },
+                weights=agent.get_weights(state_i),
+            )
+            paths.append(path)
+            print(f"seed {s}: reward {float(m['mean_rewards'][i][0]):.2f} "
+                  f"-> {path}")
+        return paths
 
     def create_player(self):
         return self.player_factory.create(

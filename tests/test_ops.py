@@ -397,3 +397,51 @@ def test_twohot_value_logits_reach_the_loss():
     )
     assert "value_logits" in res
     assert res["value_logits"].shape == (4, 255)
+
+
+def test_categorical_q_projection_matches_reference_loop():
+    """C51 distr_projection vs a numpy oracle of the reference's per-atom
+    scatter loop (rl_games/common/categorical.py:11-51), incl. terminal
+    rows and boundary-clipped atoms."""
+    from rl_games_tpu.ops.categorical import CategoricalQ
+
+    rng = np.random.RandomState(3)
+    B, A = 64, 51
+    v_min, v_max, gamma = -10.0, 10.0, 0.9
+    logits = rng.randn(B, A)
+    next_distr = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    rewards = rng.uniform(-15, 15, B)  # some beyond [v_min, v_max]
+    # exact-bin rewards exercise the u == l branch
+    rewards[:8] = np.linspace(v_min, v_max, 8)
+    dones = rng.rand(B) < 0.3
+
+    # numpy oracle of the reference algorithm
+    delta_z = (v_max - v_min) / (A - 1)
+    expected = np.zeros_like(next_distr, dtype=np.float32)
+    for atom in range(A):
+        tz = np.clip(rewards + (v_min + atom * delta_z) * gamma, v_min, v_max)
+        b = (tz - v_min) / delta_z
+        lo, up = np.floor(b).astype(int), np.ceil(b).astype(int)
+        eq = up == lo
+        expected[eq, lo[eq]] += next_distr[eq, atom]
+        ne = ~eq
+        expected[ne, lo[ne]] += next_distr[ne, atom] * (up - b)[ne]
+        expected[ne, up[ne]] += next_distr[ne, atom] * (b - lo)[ne]
+    if dones.any():
+        expected[dones] = 0.0
+        tz = np.clip(rewards[dones], v_min, v_max)
+        b = (tz - v_min) / delta_z
+        lo, up = np.floor(b).astype(int), np.ceil(b).astype(int)
+        rows = np.where(dones)[0]
+        eq = up == lo
+        expected[rows[eq], lo[eq]] = 1.0
+        expected[rows[~eq], lo[~eq]] = (up - b)[~eq]
+        expected[rows[~eq], up[~eq]] = (b - lo)[~eq]
+
+    cq = CategoricalQ(A, v_min, v_max)
+    got = np.asarray(jax.jit(cq.distr_projection)(
+        jnp.asarray(next_distr), jnp.asarray(rewards), jnp.asarray(dones),
+        gamma,
+    ))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)

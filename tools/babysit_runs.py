@@ -1,11 +1,18 @@
 #!/usr/bin/env python
 """Benchmark-run babysitter.
 
-Watches the long training runs listed in RUNS; when one dies before
-reaching its completion criterion, relaunches it from its latest
-checkpoint (same config, same log, append). Never kills anything —
-detection is read-only (/proc cmdline scan); relaunch count is capped
-to avoid crash loops. Progress notes go to benchruns/babysitter.log.
+Watches the long training runs listed in RUNS; launches them in priority
+order (at most MAX_CONCURRENT at a time, the host has 4 CPUs) and, when
+one dies before reaching its completion criterion, relaunches it from its
+latest checkpoint (same config, same log, append). Never kills anything —
+detection is read-only (/proc cmdline scan); relaunch count is capped to
+avoid crash loops. Progress notes go to benchruns/babysitter.log.
+
+Per-run platform: "tpu" runs inherit the default env (axon relay);
+"cpu" runs strip PYTHONPATH (sitecustomize forces the relay) and set
+JAX_PLATFORMS=cpu — used for the host-env-stepping-bound published-budget
+runs where the ~30 ms/step relay round trip, not compute, would dominate
+(see docs/PERF.md "Measurement methodology").
 """
 import os
 import re
@@ -14,27 +21,28 @@ import time
 
 REPO = "/root/repo"
 LOG = os.path.join(REPO, "benchruns", "babysitter.log")
+MAX_CONCURRENT = 3
 
-# name, config, checkpoint, curve log, completion = (kind, target)
+# name, config, checkpoint, curve log, completion = (kind, target), platform
 RUNS = [
-    ("hopper", "rl_games_tpu/configs/ref/mujoco/hopper_envpool.yaml",
-     "runs/Hopper-v5_envpool/nn/Hopper-v5_envpool.ckpt",
-     "docs/ppo_hopper_envpool_run.log", ("epoch", 1000)),
-    ("walker2d", "rl_games_tpu/configs/ref/mujoco/walker2d_envpool.yaml",
-     "runs/Walker2d-v5_envpool/nn/Walker2d-v5_envpool.ckpt",
-     "docs/ppo_walker2d_envpool_run.log", ("epoch", 1000)),
-    ("cart_pub", "benchruns/dmc_cart_published.yaml",
-     "/tmp/dmc_runs/CartpoleBalance_published_protocol/nn/CartpoleBalance_published_protocol.ckpt",
-     "docs/dmc_cartpole_balance_published_protocol_run.log", ("epoch", 1000)),
-    ("walker_walk", "rl_games_tpu/configs/ref/dm_control/walker_walk.yaml",
-     "runs/WalkerWalk_envpool/nn/WalkerWalk_envpool.ckpt",
-     "docs/dmc_walker_walk_run.log", ("epoch", 4000)),
-    ("ball_in_cup", "rl_games_tpu/configs/ref/dm_control/ball_in_cup.yaml",
-     "runs/BallInCupCatch_envpool/nn/BallInCupCatch_envpool.ckpt",
-     "docs/dmc_ball_in_cup_run.log", ("epoch", 4000)),
     ("humanoid5m", "benchruns/sac_humanoid_5m.yaml",
      "runs/Humanoid-v5_SAC_5M/nn/Humanoid-v5_SAC_5M.ckpt",
-     "docs/sac_humanoid_5m_run.log", ("frames", 5_000_000)),
+     "docs/sac_humanoid_5m_run.log", ("frames", 5_000_000), "tpu"),
+    ("cart_pub", "benchruns/dmc_cart_published.yaml",
+     "runs/CartpoleBalance_published_protocol/nn/CartpoleBalance_published_protocol.ckpt",
+     "docs/dmc_cartpole_balance_published_protocol_run.log", ("epoch", 1000), "tpu"),
+    ("hopper", "rl_games_tpu/configs/ref/mujoco/hopper_envpool.yaml",
+     "runs/Hopper-v5_envpool/nn/Hopper-v5_envpool.ckpt",
+     "docs/ppo_hopper_envpool_run.log", ("epoch", 1000), "tpu"),
+    ("walker2d", "rl_games_tpu/configs/ref/mujoco/walker2d_envpool.yaml",
+     "runs/Walker2d-v5_envpool/nn/Walker2d-v5_envpool.ckpt",
+     "docs/ppo_walker2d_envpool_run.log", ("epoch", 1000), "tpu"),
+    ("walker_walk", "rl_games_tpu/configs/ref/dm_control/walker_walk.yaml",
+     "runs/WalkerWalk_envpool/nn/WalkerWalk_envpool.ckpt",
+     "docs/dmc_walker_walk_run.log", ("epoch", 4000), "cpu"),
+    ("ball_in_cup", "rl_games_tpu/configs/ref/dm_control/ball_in_cup.yaml",
+     "runs/BallInCupCatch_envpool/nn/BallInCupCatch_envpool.ckpt",
+     "docs/dmc_ball_in_cup_run.log", ("epoch", 4000), "cpu"),
 ]
 
 MAX_RELAUNCH = 6  # consecutive relaunches WITHOUT progress (crash loop);
@@ -77,27 +85,52 @@ def alive(cfg):
     return False
 
 
-def relaunch(name, cfg, ckpt, log_path):
+def newest_ckpt(ckpt):
+    """Most recent .ckpt in the run's nn/ dir (prefer the periodic last_*
+    saves over the named best file), falling back to the named path."""
+    ckpt_abs = ckpt if ckpt.startswith("/") else os.path.join(REPO, ckpt)
+    nn_dir = os.path.dirname(ckpt_abs)
+    try:
+        cands = [os.path.join(nn_dir, f) for f in os.listdir(nn_dir)
+                 if f.endswith(".ckpt")]
+    except OSError:
+        cands = []
+    if not cands:
+        return ckpt_abs if os.path.exists(ckpt_abs) else None
+    return max(cands, key=os.path.getmtime)
+
+
+def relaunch(name, cfg, ckpt, log_path, platform):
     cmd = ["setsid", "timeout", "28800", "python", "-m", "rl_games_tpu",
            "--train", "-f", cfg]
-    if os.path.exists(os.path.join(REPO, ckpt) if not ckpt.startswith("/") else ckpt):
-        cmd += ["-c", ckpt]
+    resume = newest_ckpt(ckpt)
+    if resume:
+        cmd += ["-c", resume]
+    env = dict(os.environ)
+    if platform == "cpu":
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
     with open(os.path.join(REPO, log_path), "a") as out:
         subprocess.Popen(cmd, cwd=REPO, stdout=out, stderr=subprocess.STDOUT,
-                         stdin=subprocess.DEVNULL, start_new_session=True)
-    note(f"relaunched {name} ({relaunches[name]}): {' '.join(cmd)}")
+                         stdin=subprocess.DEVNULL, start_new_session=True,
+                         env=env)
+    note(f"relaunched {name} ({relaunches[name]}, {platform}): {' '.join(cmd)}")
 
 
 def main():
     note("babysitter up")
     while True:
         pending = 0
-        for name, cfg, ckpt, log_path, (kind, target) in RUNS:
+        running = 0
+        for name, cfg, ckpt, log_path, (kind, target), platform in RUNS:
             prog = last_progress(os.path.join(REPO, log_path), kind)
             if prog >= target:
                 continue
             pending += 1
             if alive(cfg):
+                running += 1
+                continue
+            if running >= MAX_CONCURRENT:
                 continue
             if prog > progress_at_relaunch[name]:
                 relaunches[name] = 0  # it advanced: not a crash loop
@@ -106,7 +139,8 @@ def main():
                 continue
             relaunches[name] += 1
             progress_at_relaunch[name] = prog
-            relaunch(name, cfg, ckpt, log_path)
+            relaunch(name, cfg, ckpt, log_path, platform)
+            running += 1
         if pending == 0:
             note("all runs complete; exiting")
             return
