@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--seeds", type=str, default=None,
                     help="comma-separated seed list: train every seed "
                          "simultaneously as one compiled vmapped program "
-                         "(device envs, PPO family)")
+                         "(device envs; PPO and SAC)")
     ap.add_argument("--track", action="store_true", help="wandb tracking")
     ap.add_argument(
         "--wandb-project-name", type=str, default="rl_games_tpu"

@@ -176,8 +176,8 @@ class Runner:
     def run_train_multiseed(self, args: Dict[str, Any]):
         """`--seeds a,b,c`: train every seed simultaneously as ONE compiled
         vmapped program (utils/multiseed.py — no reference analog; its
-        benchmark harness shells out one process per seed). Device-env PPO
-        only. Writes one curve log line per seed per log_interval and a
+        benchmark harness shells out one process per seed). Device envs
+        only; PPO and SAC. Writes one curve log line per seed per log_interval and a
         single-seed-compatible checkpoint per seed at the end."""
         import os
         import time
@@ -190,12 +190,6 @@ class Runner:
         seeds = args["seeds"]
         if isinstance(seeds, str):
             seeds = [int(s) for s in seeds.replace(",", " ").split()]
-        if self.algo_name == "sac":
-            raise ValueError(
-                "--seeds multi-seed training currently supports the PPO "
-                "family; run SAC seeds as separate processes "
-                "(benchmarks/sac_benchmark.py)"
-            )
         print(f"Started to train {len(seeds)} seeds in one program: {seeds}")
         agent = self.create_agent()
         trainer = MultiSeedTrainer(agent, seeds)
@@ -205,8 +199,15 @@ class Runner:
         config = self.params["config"]
         name = config.get("name", "run")
         max_epochs = int(config.get("max_epochs", 0)) or args.get(
-            "max_epochs", 1000
+            "max_epochs", 0
         )
+        if not max_epochs:
+            # SAC configs bound runs by frames (sac_agent.py max_frames)
+            max_frames = int(config.get("max_frames", 0))
+            if max_frames:
+                max_epochs = max(1, max_frames // trainer.frames_per_epoch())
+            else:
+                max_epochs = 1000
         log_interval = int(config.get("log_interval", 10))
         frames_per_epoch = trainer.frames_per_epoch() * len(seeds)
         nn_dir = os.path.join(config.get("train_dir", "runs"), name, "nn")
@@ -221,8 +222,11 @@ class Runner:
                 fps = frames_per_epoch * epoch / (
                     time.perf_counter() - start
                 )
+                played = m.get("games_played")
                 rews = " ".join(
                     f"seed{s}: {float(m['mean_rewards'][i][0]):.2f}"
+                    if played is None or int(played[i]) > 0
+                    else f"seed{s}: n/a"
                     for i, s in enumerate(seeds)
                 )
                 print(

@@ -9,7 +9,9 @@ and updates of all seeds batch together on the MXU/VPU, turning a k-seed
 benchmark matrix into roughly the wall-clock of one run whenever one seed
 leaves the chip underutilized.
 
-Device-env path only (host envs step outside jit and cannot vmap).
+Device-env path only (host envs step outside jit and cannot vmap); both
+algorithm families work (PPO and SAC — a SAC stack vmaps the per-seed
+replay rings too, so device memory scales by k).
 Checkpoints interoperate with single-seed training: ``state_for_seed``
 slices one seed's TrainState out of the stack, and the standard
 player/checkpoint machinery consumes it unchanged.
@@ -69,4 +71,7 @@ class MultiSeedTrainer:
 
     def frames_per_epoch(self) -> int:
         a = self.agent
-        return a.num_actors * a.num_agents * a.horizon_length
+        steps = getattr(a, "horizon_length", None) or getattr(
+            a, "num_steps_per_episode", 1
+        )
+        return a.num_actors * getattr(a, "num_agents", 1) * steps

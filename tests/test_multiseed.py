@@ -103,3 +103,27 @@ def test_runner_multiseed_cli_path(tmp_path):
         assert os.path.exists(p)
     reward = runner.run({"play": True, "checkpoint": paths[0]})
     assert float(reward) > 0
+
+
+def test_multiseed_sac_device_path(tmp_path):
+    """SAC's device train_epoch is pure state->(state, metrics) too, so
+    --seeds covers the off-policy family (per-seed replay rings stack
+    under vmap: memory scales by k)."""
+    import os
+    import yaml
+
+    from rl_games_tpu.runner import Runner
+
+    path = os.path.join(os.path.dirname(__file__), "..", "rl_games_tpu",
+                        "configs", "sac_pendulum.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    c = cfg["params"]["config"]
+    c.update(num_actors=4, num_steps_per_episode=4, batch_size=32,
+             replay_buffer_size=1000, num_warmup_steps=2, utd_ratio=0.5,
+             max_epochs=4, train_dir=str(tmp_path), log_interval=2,
+             print_stats=False)
+    runner = Runner()
+    runner.load(cfg)
+    paths = runner.run({"train": True, "seeds": "2,4"})
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
