@@ -122,6 +122,10 @@ class PPOTrainState:
     cv_norm: Any = None
     cv_rnn_states: Any = None  # central value net's own RNN states
     game_scores: Any = None  # Meters over infos['scores'] at episode end
+    rnd_target: Any = None  # RND curiosity: frozen target net params
+    rnd_pred: Any = None  # RND predictor params (trained per epoch)
+    rnd_opt: Any = None
+    rnd_rms: Any = None  # RND's own obs normalizer state
 
 
 class PPOAgent:
@@ -213,6 +217,29 @@ class PPOAgent:
 
             self.soft_aug = build_transform(soft_aug_cfg.get("transform", {}))
             self.soft_aug_coef = float(soft_aug_cfg.get("aug_coef", 0.001))
+        # RND curiosity (rnd_config — the historical schema the reference
+        # still ships in configs/smac/v1/3m_torch_sparse.yaml:58-78 but
+        # whose builder class is absent from its tree; models/rnd.py)
+        rnd_cfg = config.get("rnd_config")
+        self.rnd = None
+        if rnd_cfg:
+            from rl_games_tpu.models.rnd import RNDCuriosity
+
+            self.rnd = RNDCuriosity(rnd_cfg["network"])
+            self.rnd_scale = float(rnd_cfg.get("scale_value", 1.0))
+            self.rnd_lr = float(rnd_cfg.get("learning_rate", 5e-4))
+            self.rnd_mini_epochs = int(rnd_cfg.get("mini_epochs", 1))
+            self.rnd_minibatch = int(
+                rnd_cfg.get("minibatch_size", config["minibatch_size"])
+            )
+            self.rnd_tx = optax.adam(self.rnd_lr)
+            if rnd_cfg.get("episodic") or rnd_cfg.get("gamma"):
+                print(
+                    "rnd_config: 'episodic'/'gamma' accepted but folded — "
+                    "the intrinsic reward joins the shaped reward before "
+                    "GAE (single advantage head) rather than getting a "
+                    "separate episodic return"
+                )
         self.adv_rms_momentum = config.get("adv_rms_momentum", 0.5)
         self._observer = (config.get("features") or {}).get("observer")
         self._rollout_time = None  # calibrated under use_diagnostics
@@ -429,6 +456,19 @@ class PPOAgent:
         n = self.num_actors * self.num_agents
         v = self.value_size
         adv_rms = moving_init(()) if self.normalize_rms_advantage else None
+        rnd_target = rnd_pred = rnd_opt = rnd_rms = None
+        if self.rnd is not None:
+            from rl_games_tpu.ops.running_stats import rms_init
+
+            rnd_obs = self._actor_obs(obs)
+            if isinstance(rnd_obs, dict):
+                raise ValueError(
+                    "rnd_config supports flat observation spaces"
+                )
+            rnd_key = jax.random.fold_in(model_key, 2)
+            rnd_target, rnd_pred = self.rnd.init(rnd_key, rnd_obs)
+            rnd_opt = self.rnd_tx.init(rnd_pred)
+            rnd_rms = rms_init(rnd_obs.shape[1:])
         state = PPOTrainState(
             params=params,
             opt_state=opt_state,
@@ -454,6 +494,10 @@ class PPOAgent:
             cv_norm=cv_norm,
             cv_rnn_states=cv_rnn_states,
             game_scores=meters_init(self.games_to_track, 1),
+            rnd_target=rnd_target,
+            rnd_pred=rnd_pred,
+            rnd_opt=rnd_opt,
+            rnd_rms=rnd_rms,
         )
         # distinct buffers per leaf — XLA dedupes equal constants, and an
         # aliased pair would break jit donation ("donate the same buffer
@@ -657,6 +701,22 @@ class PPOAgent:
         mb_rewards = traj["rewards"]
         mb_dones = traj["dones"]  # [T, N] dones entering step t
         fdones = state.dones
+
+        if self.rnd is not None:
+            # intrinsic reward joins the shaped reward before GAE
+            # (models/rnd.py; rnd_config.scale_value)
+            from rl_games_tpu.ops.running_stats import (
+                rms_normalize, rms_update_from_batch,
+            )
+
+            obs_tn = self._actor_obs(traj["obses"])  # [T, N, D]
+            flat = obs_tn.reshape(-1, obs_tn.shape[-1])
+            rnd_rms = rms_update_from_batch(state.rnd_rms, flat)
+            obs_n = rms_normalize(rnd_rms, flat)
+            intr = self.rnd.intrinsic(state.rnd_target, state.rnd_pred, obs_n)
+            intr = intr.reshape(mb_rewards.shape[:2])
+            mb_rewards = mb_rewards + self.rnd_scale * intr[..., None]
+            state = state.replace(rnd_rms=rnd_rms)
 
         mb_advs = compute_gae(
             mb_rewards, mb_values, mb_dones, last_values, fdones,
@@ -999,6 +1059,40 @@ class PPOAgent:
         )
         return state, metrics
 
+    def _update_rnd(self, state: PPOTrainState, dataset):
+        """Train the RND predictor on this rollout's observations
+        (rnd_config.mini_epochs × minibatch_size; models/rnd.py)."""
+        from rl_games_tpu.ops.running_stats import rms_normalize
+
+        obs = self._actor_obs(dataset["obses"])
+        obs_n = rms_normalize(state.rnd_rms, obs.reshape(-1, obs.shape[-1]))
+        B = obs_n.shape[0]
+        mb = min(self.rnd_minibatch, B)
+        num_mb = max(B // mb, 1)
+
+        def minibatch_step(carry, start):
+            pred, opt, rng = carry
+            rows = jax.lax.dynamic_slice_in_dim(obs_n, start * mb, mb)
+            loss, grads = jax.value_and_grad(self.rnd.loss)(
+                pred, state.rnd_target, rows
+            )
+            updates, opt = self.rnd_tx.update(grads, opt, pred)
+            pred = optax.apply_updates(pred, updates)
+            return (pred, opt, rng), loss
+
+        def mini_epoch(_, carry):
+            return jax.lax.scan(
+                minibatch_step, carry, jnp.arange(num_mb)
+            )
+
+        carry = (state.rnd_pred, state.rnd_opt, state.rng)
+        losses = None
+        for _ in range(self.rnd_mini_epochs):
+            carry, losses = mini_epoch(None, carry)
+        pred, opt, _ = carry
+        state = state.replace(rnd_pred=pred, rnd_opt=opt)
+        return state, jnp.mean(losses)
+
     def _update_central_value(self, state: PPOTrainState, dataset,
                               cv_rnn_dataset_states=None):
         """Central value net training (central_value.py:246-339); in RNN
@@ -1128,8 +1222,13 @@ class PPOAgent:
             state, cval_loss = self._update_central_value(
                 state, dataset, cv_rnn_ds_states
             )
+        rnd_loss = None
+        if self.rnd is not None:
+            state, rnd_loss = self._update_rnd(state, dataset)
         state, metrics = self._update(state, dataset, rnn_ds_states)
         metrics = dict(metrics)
+        if rnd_loss is not None:
+            metrics["rnd_loss"] = rnd_loss
         # PpoDiagnostics explained variance (diagnostics.py:18-60)
         metrics["explained_variance"] = MK.explained_variance(
             dataset["old_values"].reshape(-1), dataset["returns"].reshape(-1)

@@ -38,8 +38,19 @@ def _build_resnet_network(net_params, *, actions_num, input_shape, value_size=1,
     return A2CNetwork.create(p, actions_num, input_shape, value_size)
 
 
+def _build_rnd_curiosity(net_params, **kw):
+    """'rnd_curiosity' (model_builder.py:23): the reference registers this
+    name against a class absent from its tree (instantiating it crashes);
+    here it resolves to the WORKING RND module consumed by rnd_config
+    (models/rnd.py, algos/ppo.py)."""
+    from rl_games_tpu.models.rnd import RNDCuriosity
+
+    return RNDCuriosity(net_params)
+
+
 register_network("actor_critic", _build_a2c_network)
 register_network("resnet_actor_critic", _build_resnet_network)
+register_network("rnd_curiosity", _build_rnd_curiosity)
 
 
 def _model_factory(model_cls, needs_space=False):

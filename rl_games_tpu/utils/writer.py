@@ -92,6 +92,10 @@ def write_ppo_stats(writer, metrics: dict, frame: int, epoch: int,
     w("losses/entropy", float(metrics["entropy"]), frame)
     if "b_loss" in metrics:
         w("losses/bounds_loss", float(metrics["b_loss"]), frame)
+    if "rnd_loss" in metrics:
+        # RND curiosity: mean intrinsic (prediction-error) reward, which
+        # doubles as the predictor's training loss (models/rnd.py)
+        w("losses/rnd_loss", float(metrics["rnd_loss"]), frame)
     w("info/last_lr", float(metrics["lr"]), frame)
     w("info/e_clip", float(metrics.get("e_clip", 0.0)), frame)
     w("info/kl", float(metrics["kl"]), frame)
