@@ -192,11 +192,34 @@ class Runner:
             seeds = [int(s) for s in seeds.replace(",", " ").split()]
         print(f"Started to train {len(seeds)} seeds in one program: {seeds}")
         agent = self.create_agent()
-        trainer = MultiSeedTrainer(agent, seeds)
+        config = self.params["config"]
+        pbt_interval_epochs = 0
+        if config.get("pbt") and self.algo_name != "sac":
+            # on-device PBT: the population is the seed axis
+            # (utils/multiseed.PopulationTrainer)
+            from rl_games_tpu.utils.multiseed import PopulationTrainer
+            from rl_games_tpu.utils.pbt import PbtCfg
+
+            pcfg = PbtCfg.from_dict(dict(config["pbt"]))
+            trainer = PopulationTrainer(
+                agent, seeds,
+                threshold_std=pcfg.threshold_std,
+                threshold_abs=pcfg.threshold_abs,
+                mutation_rate=max(pcfg.mutation_rate, 0.25),
+                change_range=pcfg.change_range,
+            )
+            pbt_interval_epochs = max(
+                1, pcfg.interval_steps // trainer.frames_per_epoch()
+            )
+            print(
+                f"on-device PBT: band exploit every {pbt_interval_epochs} "
+                f"epochs over the {len(seeds)}-member vmapped population"
+            )
+        else:
+            trainer = MultiSeedTrainer(agent, seeds)
         stacked = trainer.init_state()
         fn = trainer.train_fn()
 
-        config = self.params["config"]
         name = config.get("name", "run")
         max_epochs = int(config.get("max_epochs", 0)) or args.get(
             "max_epochs", 0
@@ -217,6 +240,17 @@ class Runner:
         metrics = None
         for epoch in range(1, max_epochs + 1):
             stacked, metrics = fn(stacked)
+            if pbt_interval_epochs and epoch % pbt_interval_epochs == 0:
+                stacked, events = trainer.pbt_step(
+                    stacked, jax.device_get(metrics)
+                )
+                for ev in events:
+                    print(
+                        f"pbt: seed{ev['dst']} adopts seed{ev['src']} "
+                        f"(lr={ev['lr']:.2e} "
+                        f"entropy_coef={ev['entropy_coef']:.4f})",
+                        flush=True,
+                    )
             if epoch % log_interval == 0 or epoch == max_epochs:
                 m = jax.device_get(metrics)
                 fps = frames_per_epoch * epoch / (

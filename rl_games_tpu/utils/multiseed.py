@@ -75,3 +75,101 @@ class MultiSeedTrainer:
             a, "num_steps_per_episode", 1
         )
         return a.num_actors * getattr(a, "num_agents", 1) * steps
+
+
+class PopulationTrainer(MultiSeedTrainer):
+    """On-device population-based training: the population IS the vmapped
+    seed axis. The reference's PBT (common/pbt/) coordinates N OS processes
+    through filesystem checkpoints and os.execv restarts; here the whole
+    population trains as one compiled program and exploit/explore is cheap
+    host-side tree surgery on the stacked TrainState — laggards (below the
+    reference's band rule, utils/pbt.classify) adopt a random leader's
+    weights + normalizers with a fresh optimizer, and mutate the
+    hyperparameters that live IN the TrainState (lr, entropy_coef) with
+    the reference's mutate_float steps (pbt/mutation.py:35-54). Meters
+    reset on adoption (clear_stats) so the band re-evaluates on fresh
+    games, mirroring the reference's restart-from-checkpoint semantics.
+    """
+
+    def __init__(self, agent, seeds: Sequence[int], *,
+                 threshold_std: float = 0.10, threshold_abs: float = 0.05,
+                 mutation_rate: float = 0.8,
+                 change_range=(1.1, 1.5)):
+        super().__init__(agent, seeds)
+        self.threshold_std = float(threshold_std)
+        self.threshold_abs = float(threshold_abs)
+        self.mutation_rate = float(mutation_rate)
+        self.change_range = tuple(change_range)
+
+    def _maybe_mutate(self, value: float) -> float:
+        import random as _random
+
+        from rl_games_tpu.utils.pbt import mutate_float
+
+        if _random.random() > self.mutation_rate:
+            return value
+        return mutate_float(value, *self.change_range)
+
+    def pbt_step(self, stacked_state, metrics):
+        """One exploit/explore pass. Returns (state, events); events is a
+        list of {'dst','src','lr','entropy_coef'} adoption records."""
+        import numpy as np
+        import random as _random
+
+        from rl_games_tpu.utils.pbt import classify
+
+        games = np.asarray(metrics.get("games_played"))
+        scores = np.asarray(metrics["mean_rewards"])[:, 0]
+        if games is not None and (games <= 0).any():
+            return stacked_state, []  # some member has no completed games
+        leader_cut, laggard_cut = classify(
+            scores, self.threshold_std, self.threshold_abs
+        )
+        leaders = np.where(scores >= leader_cut)[0]
+        laggards = np.where(scores <= laggard_cut)[0]
+        if len(leaders) == 0 or len(laggards) == 0:
+            return stacked_state, []
+        events = []
+        for dst in laggards.tolist():
+            src = int(_random.choice(leaders.tolist()))
+            member = self.state_for_seed(stacked_state, dst)
+            donor_params = jax.tree.map(
+                lambda x: x[src], stacked_state.params
+            )
+            repl = dict(
+                params=donor_params,
+                norm=jax.tree.map(lambda x: x[src], stacked_state.norm),
+                opt_state=self.agent.tx.init(donor_params),
+                lr=jnp.asarray(
+                    self._maybe_mutate(float(stacked_state.lr[src])),
+                    jnp.float32,
+                ),
+                entropy_coef=jnp.asarray(
+                    self._maybe_mutate(
+                        float(stacked_state.entropy_coef[src])
+                    ),
+                    jnp.float32,
+                ),
+            )
+            if stacked_state.cv_params is not None:
+                donor_cv = jax.tree.map(
+                    lambda x: x[src], stacked_state.cv_params
+                )
+                repl.update(
+                    cv_params=donor_cv,
+                    cv_norm=jax.tree.map(
+                        lambda x: x[src], stacked_state.cv_norm
+                    ),
+                    cv_opt=self.agent.cv_tx.init(donor_cv),
+                )
+            member = self.agent.clear_stats(member.replace(**repl))
+            stacked_state = jax.tree.map(
+                lambda full, one: full.at[dst].set(one),
+                stacked_state, member,
+            )
+            events.append({
+                "dst": self.seeds[dst], "src": self.seeds[src],
+                "lr": float(repl["lr"]),
+                "entropy_coef": float(repl["entropy_coef"]),
+            })
+        return stacked_state, events

@@ -127,3 +127,60 @@ def test_multiseed_sac_device_path(tmp_path):
     runner.load(cfg)
     paths = runner.run({"train": True, "seeds": "2,4"})
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_population_pbt_adoption_and_mutation():
+    """On-device PBT (PopulationTrainer): a laggard below the band adopts
+    the leader's weights+normalizer with a fresh optimizer, meters reset,
+    and in-state hyperparams mutate within the configured range."""
+    import random
+
+    from rl_games_tpu.utils.multiseed import PopulationTrainer
+
+    agent = PPOAgent("t", cartpole_params())
+    tr = PopulationTrainer(agent, [1, 2, 3], threshold_std=0.1,
+                           threshold_abs=0.05, mutation_rate=1.0,
+                           change_range=(1.2, 1.2))
+    stacked = tr.init_state()
+    fn = tr.make_train_fn(donate=False)
+    stacked, m = fn(stacked)  # fill meters with some games
+    fake = {
+        "mean_rewards": np.asarray([[200.0], [100.0], [10.0]]),
+        "games_played": np.asarray([5, 5, 5]),
+    }
+    random.seed(0)
+    out, events = tr.pbt_step(stacked, fake)
+    assert len(events) == 1 and events[0]["dst"] == 3 and events[0]["src"] == 1
+    # laggard (index 2) now carries the leader's (index 0) weights
+    for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[2], out.params)),
+                    jax.tree.leaves(jax.tree.map(lambda x: x[0], out.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # meters reset on the adopter only
+    assert int(out.game_rewards.count[2]) == 0
+    # mutation: x1.2 either way of the leader's lr
+    lr_src, lr_dst = float(out.lr[0]), float(out.lr[2])
+    assert np.isclose(lr_dst, lr_src * 1.2) or np.isclose(lr_dst, lr_src / 1.2)
+    # non-adopters untouched
+    assert float(out.lr[1]) == float(stacked.lr[1])
+
+
+def test_runner_multiseed_with_pbt_block(tmp_path):
+    import os
+    import yaml
+
+    from rl_games_tpu.runner import Runner
+
+    path = os.path.join(os.path.dirname(__file__), "..", "rl_games_tpu",
+                        "configs", "ppo_cartpole.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    c = cfg["params"]["config"]
+    c.update(num_actors=4, horizon_length=8, minibatch_size=16,
+             mini_epochs=2, max_epochs=6, train_dir=str(tmp_path),
+             log_interval=2, print_stats=False)
+    c["pbt"] = {"interval_steps": 64, "threshold_std": 0.1,
+                "threshold_abs": 0.05, "mutation_rate": 0.5}
+    runner = Runner()
+    runner.load(cfg)
+    paths = runner.run({"train": True, "seeds": "1,2,3"})
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
