@@ -1086,12 +1086,13 @@ class PPOAgent:
             )
 
         carry = (state.rnd_pred, state.rnd_opt, state.rng)
-        losses = None
+        all_losses = []
         for _ in range(self.rnd_mini_epochs):
             carry, losses = mini_epoch(None, carry)
+            all_losses.append(losses)
         pred, opt, _ = carry
         state = state.replace(rnd_pred=pred, rnd_opt=opt)
-        return state, jnp.mean(losses)
+        return state, jnp.mean(jnp.stack(all_losses))
 
     def _update_central_value(self, state: PPOTrainState, dataset,
                               cv_rnn_dataset_states=None):

@@ -40,12 +40,15 @@ def _build_resnet_network(net_params, *, actions_num, input_shape, value_size=1,
 
 def _build_rnd_curiosity(net_params, **kw):
     """'rnd_curiosity' (model_builder.py:23): the reference registers this
-    name against a class absent from its tree (instantiating it crashes);
-    here it resolves to the WORKING RND module consumed by rnd_config
-    (models/rnd.py, algos/ppo.py)."""
-    from rl_games_tpu.models.rnd import RNDCuriosity
-
-    return RNDCuriosity(net_params)
+    name against a class absent from its tree (instantiating it crashes).
+    RND is not a policy torso in either framework — it is consumed through
+    ``rnd_config`` (models/rnd.py, algos/ppo.py) — so selecting it as
+    ``network.name`` gets a clear error instead of an interface crash."""
+    raise ValueError(
+        "'rnd_curiosity' is not a policy network: configure RND through "
+        "config.rnd_config (whose network block models/rnd.RNDCuriosity "
+        "consumes); see docs/CONFIG_PARAMETERS.md"
+    )
 
 
 register_network("actor_critic", _build_a2c_network)

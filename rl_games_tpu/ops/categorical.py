@@ -13,6 +13,11 @@ Semantics pinned by tests/test_ops.py against a numpy oracle of the
 reference loop, including the done-row branch (terminal transitions
 collapse to a delta at the clipped reward) and the exact eq/ne floor-ceil
 mass-split convention.
+
+Op-level component with no trainer consumer — deliberately mirroring the
+reference, where CategoricalQ is likewise a legacy DQN remnant no
+algorithm imports (SURVEY.md §2 #43); it ships so a distributional-value
+extension has the projection ready-made.
 """
 
 import jax.numpy as jnp

@@ -190,10 +190,25 @@ class Runner:
         seeds = args["seeds"]
         if isinstance(seeds, str):
             seeds = [int(s) for s in seeds.replace(",", " ").split()]
+        if args.get("checkpoint"):
+            raise ValueError(
+                "--seeds starts every member from its own seeded init; "
+                "resuming a population from a single checkpoint is "
+                "ambiguous — drop -c, or warm-start one seed per process "
+                "with the single-seed path"
+            )
+        if args.get("sigma") is not None:
+            raise ValueError("--sigma is not supported with --seeds")
         print(f"Started to train {len(seeds)} seeds in one program: {seeds}")
         agent = self.create_agent()
         config = self.params["config"]
         pbt_interval_epochs = 0
+        if config.get("pbt") and self.algo_name == "sac":
+            print(
+                "pbt block ignored: on-device PBT mutates TrainState "
+                "hyperparameters of the PPO family; SAC seeds train as a "
+                "plain multi-seed stack"
+            )
         if config.get("pbt") and self.algo_name != "sac":
             # on-device PBT: the population is the seed axis
             # (utils/multiseed.PopulationTrainer)
@@ -205,7 +220,7 @@ class Runner:
                 agent, seeds,
                 threshold_std=pcfg.threshold_std,
                 threshold_abs=pcfg.threshold_abs,
-                mutation_rate=max(pcfg.mutation_rate, 0.25),
+                mutation_rate=pcfg.mutation_rate,
                 change_range=pcfg.change_range,
             )
             pbt_interval_epochs = max(
@@ -218,11 +233,13 @@ class Runner:
         else:
             trainer = MultiSeedTrainer(agent, seeds)
         stacked = trainer.init_state()
-        fn = trainer.train_fn()
+        fn = trainer.train_fn(mesh=self.mesh)
 
         name = config.get("name", "run")
-        max_epochs = int(config.get("max_epochs", 0)) or args.get(
-            "max_epochs", 0
+        # programmatic args win over YAML (same precedence as run_train's
+        # stop_fn handling)
+        max_epochs = int(
+            args.get("max_epochs") or config.get("max_epochs", 0) or 0
         )
         if not max_epochs:
             # SAC configs bound runs by frames (sac_agent.py max_frames)

@@ -47,18 +47,49 @@ class MultiSeedTrainer:
         states = [self.agent.init_state(seed=s) for s in self.seeds]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-    def make_train_fn(self, donate: bool = True):
+    def make_train_fn(self, donate: bool = True, mesh=None):
+        """jit(vmap(epoch)); with a mesh, shard the SEED axis over 'data'.
+
+        Multi-seed data parallelism is embarrassingly parallel: every leaf
+        of the stacked state carries the seed axis in dim 0, so sharding
+        dim 0 over 'data' places whole seeds on chips with ZERO collective
+        traffic (cf. single-seed runs, which shard the env axis and psum
+        gradients — parallel/mesh.py)."""
         donate_args = (0,) if donate else ()
         # fresh lambda per call — same stale-trace-cache defense as
         # PPOAgent.make_train_fn
-        return jax.jit(
-            jax.vmap(lambda s: self.agent.train_epoch(s)),
-            donate_argnums=donate_args,
-        )
+        fn = jax.vmap(lambda s: self.agent.train_epoch(s))
+        if mesh is None:
+            return jax.jit(fn, donate_argnums=donate_args)
 
-    def train_fn(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        if len(self.seeds) % n_dev:
+            raise ValueError(
+                f"--seeds over a mesh needs len(seeds) divisible by the "
+                f"mesh size: {len(self.seeds)} seeds on {n_dev} devices"
+            )
+        seed_shard = NamedSharding(mesh, P("data"))
+        cache = {}
+
+        def wrapper(stacked):
+            if "fn" not in cache:
+                shardings = jax.tree.map(lambda _: seed_shard, stacked)
+                cache["fn"] = jax.jit(
+                    fn,
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, None),
+                    donate_argnums=donate_args,
+                )
+                stacked = jax.device_put(stacked, shardings)
+            return cache["fn"](stacked)
+
+        return wrapper
+
+    def train_fn(self, mesh=None):
         if self._fn is None:
-            self._fn = self.make_train_fn()
+            self._fn = self.make_train_fn(mesh=mesh)
         return self._fn
 
     def epoch(self, stacked_state):
@@ -118,9 +149,9 @@ class PopulationTrainer(MultiSeedTrainer):
 
         from rl_games_tpu.utils.pbt import classify
 
-        games = np.asarray(metrics.get("games_played"))
+        games = metrics.get("games_played")
         scores = np.asarray(metrics["mean_rewards"])[:, 0]
-        if games is not None and (games <= 0).any():
+        if games is not None and (np.asarray(games) <= 0).any():
             return stacked_state, []  # some member has no completed games
         leader_cut, laggard_cut = classify(
             scores, self.threshold_std, self.threshold_abs

@@ -184,3 +184,45 @@ def test_runner_multiseed_with_pbt_block(tmp_path):
     runner.load(cfg)
     paths = runner.run({"train": True, "seeds": "1,2,3"})
     assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+
+
+def test_multiseed_mesh_shards_seed_axis():
+    """--seeds over a mesh: whole seeds land on chips (dim 0 = seed axis
+    over 'data', zero collective traffic) and the math matches the
+    unsharded stack."""
+    from rl_games_tpu.parallel.mesh import create_mesh
+
+    seeds = [1, 2, 3, 4, 5, 6, 7, 8]
+    agent = PPOAgent("t", cartpole_params())
+    ms = MultiSeedTrainer(agent, seeds)
+    stacked = ms.init_state()
+    plain_fn = ms.make_train_fn(donate=False)
+    mesh = create_mesh(jax.devices()[:8])
+    mesh_fn = ms.make_train_fn(donate=False, mesh=mesh)
+    s1, m1 = plain_fn(stacked)
+    s2, m2 = mesh_fn(stacked)
+    np.testing.assert_allclose(np.asarray(m1["a_loss"]),
+                               np.asarray(m2["a_loss"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1["mean_rewards"]),
+                               np.asarray(m2["mean_rewards"]), rtol=1e-5)
+    with pytest.raises(ValueError):
+        MultiSeedTrainer(agent, [1, 2, 3]).make_train_fn(mesh=mesh)
+
+
+def test_runner_multiseed_rejects_checkpoint_and_sigma(tmp_path):
+    import os
+    import yaml
+
+    from rl_games_tpu.runner import Runner
+
+    path = os.path.join(os.path.dirname(__file__), "..", "rl_games_tpu",
+                        "configs", "ppo_cartpole.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["params"]["config"]["train_dir"] = str(tmp_path)
+    runner = Runner()
+    runner.load(cfg)
+    with pytest.raises(ValueError):
+        runner.run({"train": True, "seeds": "1,2", "checkpoint": "x.ckpt"})
+    with pytest.raises(ValueError):
+        runner.run({"train": True, "seeds": "1,2", "sigma": 0.5})

@@ -121,14 +121,15 @@ def main():
     note("babysitter up")
     while True:
         pending = 0
-        running = 0
+        # full pass first: count every live run before any launch decision,
+        # or late-listed live runs would not count against the cap
+        running = sum(1 for _, cfg, *_ in RUNS if alive(cfg))
         for name, cfg, ckpt, log_path, (kind, target), platform in RUNS:
             prog = last_progress(os.path.join(REPO, log_path), kind)
             if prog >= target:
                 continue
             pending += 1
             if alive(cfg):
-                running += 1
                 continue
             if running >= MAX_CONCURRENT:
                 continue
