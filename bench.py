@@ -46,15 +46,21 @@ def main():
     # counting the per-call host<->device round-trip latency (~30 ms under
     # the remote-TPU relay) against device throughput.  block_until_ready
     # alone is NOT sufficient under the relay; the scalar D2H transfer is.
-    n_epochs = 30
+    # Median of 3 windows: the chip is sometimes shared with other
+    # processes (benchmark jobs, relay traffic); the median sheds a
+    # transiently-contended window without inflating the figure.
+    n_epochs = 15
     frames_per_epoch = agent.batch_size
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, metrics = train_fn(state)
-    float(metrics["a_loss"])
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state, metrics = train_fn(state)
+        float(metrics["a_loss"])
+        dt = time.perf_counter() - t0
+        rates.append(n_epochs * frames_per_epoch / dt)
 
-    fps = n_epochs * frames_per_epoch / dt
+    fps = sorted(rates)[1]
     print(
         json.dumps(
             {
