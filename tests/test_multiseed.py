@@ -226,3 +226,20 @@ def test_runner_multiseed_rejects_checkpoint_and_sigma(tmp_path):
         runner.run({"train": True, "seeds": "1,2", "checkpoint": "x.ckpt"})
     with pytest.raises(ValueError):
         runner.run({"train": True, "seeds": "1,2", "sigma": 0.5})
+
+
+def test_multiseed_composes_with_rnn_and_central_value():
+    """--seeds composes with the RNN and asymmetric central-value paths:
+    every per-seed substate (rnn carries, cv nets) rides the stacked
+    TrainState pytree."""
+    from test_ppo_rnn import rnn_params
+    from test_central_value import asym_params
+
+    for params in (rnn_params(), asym_params()):
+        agent = PPOAgent("t", params)
+        ms = MultiSeedTrainer(agent, [1, 2])
+        stacked = ms.init_state()
+        fn = ms.make_train_fn(donate=False)
+        stacked, m = fn(stacked)
+        assert np.isfinite(float(m["a_loss"][0]))
+        assert m["a_loss"].shape == (2,)
