@@ -230,7 +230,7 @@ class PPOAgent:
             self.rnd_lr = float(rnd_cfg.get("learning_rate", 5e-4))
             self.rnd_mini_epochs = int(rnd_cfg.get("mini_epochs", 1))
             self.rnd_minibatch = int(
-                rnd_cfg.get("minibatch_size", config["minibatch_size"])
+                rnd_cfg.get("minibatch_size") or self.minibatch_size
             )
             self.rnd_tx = optax.adam(self.rnd_lr)
             if rnd_cfg.get("episodic") or rnd_cfg.get("gamma"):
@@ -275,10 +275,18 @@ class PPOAgent:
         self.seed = config.get("seed", 7)
 
         self.scheduler = build_scheduler(
-            {**config, "max_epochs": self.max_epochs if self.max_epochs > 0 else
-             config.get("max_epochs", 1000000)},
+            {**config, "max_epochs": self.max_epochs,
+             "max_frames": self.max_frames},
             self.learning_rate,
         )
+        if self.max_frames > 2**31 - 1:
+            # the in-state frame counter is int32 (device-friendly; x64 is
+            # globally disabled): frame-based budgets past 2^31 would wrap
+            raise ValueError(
+                f"max_frames {self.max_frames} exceeds the int32 frame "
+                "counter (2^31-1 ≈ 2.1e9); split the run into resumed "
+                "segments (the checkpoint carries epoch/frame meta)"
+            )
         self.rewards_shaper = build_reward_shaper(config)
 
         # --- model --------------------------------------------------------
@@ -331,6 +339,13 @@ class PPOAgent:
                 "minibatch_size",
                 self.num_actors * cv_cfg.get("minibatch_size_per_env", 0),
             )
+            if self.cv_minibatch_size <= 0:
+                raise ValueError(
+                    "central_value_config needs 'minibatch_size' or "
+                    "'minibatch_size_per_env' > 0 (central_value.py:65-74)"
+                )
+            # non-dividing minibatch: the tail rows are dropped each epoch,
+            # matching the reference's PPODataset len = batch // minibatch
             self.cv_num_minibatches = max(
                 1, self.batch_size // self.cv_minibatch_size
             )
@@ -407,6 +422,14 @@ class PPOAgent:
 
         # --- optimizer (torch fused Adam analog: clip → wd → adam; the lr
         # lives in the train state so schedulers can run inside jit) --------
+        self.tx = self._build_tx()
+
+        self._train_epoch_jit = None
+
+    def _build_tx(self):
+        """clip → weight decay → adam — one definition so __init__ and
+        _rebuild_stale_program (PBT set_param on grad_norm) can never
+        drift apart."""
         chain = []
         if self.truncate_grads:
             chain.append(optax.clip_by_global_norm(self.grad_norm))
@@ -414,9 +437,7 @@ class PPOAgent:
             chain.append(optax.add_decayed_weights(self.weight_decay))
         chain.append(optax.scale_by_adam(eps=1e-8))
         chain.append(optax.scale(-1.0))
-        self.tx = optax.chain(*chain)
-
-        self._train_epoch_jit = None
+        return optax.chain(*chain)
 
     # ------------------------------------------------------------------
     # state construction
@@ -1061,7 +1082,10 @@ class PPOAgent:
 
     def _update_rnd(self, state: PPOTrainState, dataset):
         """Train the RND predictor on this rollout's observations
-        (rnd_config.mini_epochs × minibatch_size; models/rnd.py)."""
+        (rnd_config.mini_epochs × minibatch_size; models/rnd.py). A
+        non-dividing minibatch drops the batch tail each mini-epoch — the
+        same convention as the reference's PPODataset (len = batch //
+        minibatch)."""
         from rl_games_tpu.ops.running_stats import rms_normalize
 
         obs = self._actor_obs(dataset["obses"])
@@ -1071,26 +1095,23 @@ class PPOAgent:
         num_mb = max(B // mb, 1)
 
         def minibatch_step(carry, start):
-            pred, opt, rng = carry
+            pred, opt = carry
             rows = jax.lax.dynamic_slice_in_dim(obs_n, start * mb, mb)
             loss, grads = jax.value_and_grad(self.rnd.loss)(
                 pred, state.rnd_target, rows
             )
             updates, opt = self.rnd_tx.update(grads, opt, pred)
             pred = optax.apply_updates(pred, updates)
-            return (pred, opt, rng), loss
+            return (pred, opt), loss
 
-        def mini_epoch(_, carry):
-            return jax.lax.scan(
-                minibatch_step, carry, jnp.arange(num_mb)
-            )
-
-        carry = (state.rnd_pred, state.rnd_opt, state.rng)
+        carry = (state.rnd_pred, state.rnd_opt)
         all_losses = []
         for _ in range(self.rnd_mini_epochs):
-            carry, losses = mini_epoch(None, carry)
+            carry, losses = jax.lax.scan(
+                minibatch_step, carry, jnp.arange(num_mb)
+            )
             all_losses.append(losses)
-        pred, opt, _ = carry
+        pred, opt = carry
         state = state.replace(rnd_pred=pred, rnd_opt=opt)
         return state, jnp.mean(jnp.stack(all_losses))
 
@@ -1636,14 +1657,7 @@ class PPOAgent:
     def _rebuild_stale_program(self):
         """Re-derive everything that bakes static params in: the optimizer
         chain (grad_norm) and the jitted epoch programs."""
-        chain = []
-        if self.truncate_grads:
-            chain.append(optax.clip_by_global_norm(self.grad_norm))
-        if self.weight_decay > 0:
-            chain.append(optax.add_decayed_weights(self.weight_decay))
-        chain.append(optax.scale_by_adam(eps=1e-8))
-        chain.append(optax.scale(-1.0))
-        self.tx = optax.chain(*chain)
+        self.tx = self._build_tx()
         if hasattr(self, "_host_fns"):
             del self._host_fns
         self._program_stale = False

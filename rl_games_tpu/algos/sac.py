@@ -235,6 +235,13 @@ class SACAgent:
         self.alpha_lr = float(config["alpha_lr"])
         self.max_epochs = config.get("max_epochs", -1)
         self.max_frames = max(config.get("max_frames", -1), config.get("max_steps", -1))
+        if self.max_frames > 2**31 - 1:
+            # in-state frame counter is int32 (x64 globally disabled)
+            raise ValueError(
+                f"max_frames {self.max_frames} exceeds the int32 frame "
+                "counter (2^31-1 ≈ 2.1e9); split the run into resumed "
+                "segments (the checkpoint carries epoch/frame meta)"
+            )
         self.games_to_track = config.get("games_to_track", 100)
         self.save_freq = config.get("save_frequency", 0)
         self.save_best_after = config.get("save_best_after", 100)
@@ -528,59 +535,55 @@ class SACAgent:
             return state
 
         def step(carry, _):
-            state, _ = carry
+            state, sums, n_updates = carry
             state = env_step(state)
 
             def do_updates(state):
-                def one_update(c, _):
-                    s, _ = c
+                def one_update(s, _):
                     rng, k = jax.random.split(s.rng)
                     s = s.replace(rng=rng)
                     s, m = self._update(s, k)
-                    return (s, m), None
+                    return s, m
 
-                zero = {
-                    k: jnp.zeros(())
-                    for k in (
-                        "critic_loss", "critic1_loss", "critic2_loss",
-                        "actor_loss", "entropy", "alpha_loss", "actor_updated",
-                    )
-                }
-                (state, metrics), _ = jax.lax.scan(
-                    one_update, (state, zero), None,
+                state, ms = jax.lax.scan(
+                    one_update, state, None,
                     length=self.num_updates_per_step,
                 )
-                return state, metrics
+                return (
+                    state,
+                    jax.tree.map(lambda x: jnp.sum(x, axis=0), ms),
+                    jnp.asarray(self.num_updates_per_step, jnp.float32),
+                )
 
             def no_updates(state):
-                zero = {
-                    k: jnp.zeros(())
-                    for k in (
-                        "critic_loss", "critic1_loss", "critic2_loss",
-                        "actor_loss", "entropy", "alpha_loss", "actor_updated",
-                    )
-                }
-                return state, zero
+                return state, _zero_metrics(), jnp.zeros(())
 
             can_update = (~warmup) & (
                 replay_size(state.replay) >= self.replay_min_fill
             )
-            state, metrics = jax.lax.cond(
+            state, step_sums, step_n = jax.lax.cond(
                 can_update, do_updates, no_updates, state
             )
-            return (state, metrics), None
+            sums = jax.tree.map(jnp.add, sums, step_sums)
+            return (state, sums, n_updates + step_n), None
 
-        zero = {
-            k: jnp.zeros(())
-            for k in (
-                "critic_loss", "critic1_loss", "critic2_loss", "actor_loss",
-                "entropy", "alpha_loss", "actor_updated",
-            )
-        }
-        (state, metrics), _ = jax.lax.scan(
-            step, (state, zero), None, length=self.num_steps_per_episode
+        (state, sums, n_updates), _ = jax.lax.scan(
+            step, (state, _zero_metrics(), jnp.zeros(())), None,
+            length=self.num_steps_per_episode,
         )
         state = state.replace(epoch=state.epoch + 1)
+
+        # epoch-MEAN losses, like the reference's per-epoch averaging over
+        # all updates (sac_agent.py:673-745, 789-790); actor-side losses
+        # average over the updates where the delayed actor actually ran
+        n_any = jnp.maximum(n_updates, 1.0)
+        n_actor = jnp.maximum(sums["actor_updated"], 1.0)
+        metrics = {
+            k: sums[k] / (n_actor if k in ("actor_loss", "entropy",
+                                           "alpha_loss") else n_any)
+            for k in _METRIC_KEYS if k != "actor_updated"
+        }
+        metrics["actor_updated"] = sums["actor_updated"]
 
         out = dict(metrics)
         out["alpha"] = self._alpha(state.log_alpha)
@@ -671,27 +674,30 @@ class SACAgent:
             warmup = state.epoch < self.num_warmup_steps
 
             def do_updates(state):
-                def one_update(c, _):
-                    s, _ = c
+                def one_update(s, _):
                     rng, k = jax.random.split(s.rng)
                     s = s.replace(rng=rng)
                     s, m = self._update(s, k)
-                    return (s, m), None
+                    return s, m
 
-                zero = _zero_metrics()
-                (state, metrics), _ = jax.lax.scan(
-                    one_update, (state, zero), None,
+                state, ms = jax.lax.scan(
+                    one_update, state, None,
                     length=self.num_updates_per_step,
                 )
-                return state, metrics
+                return (
+                    state,
+                    jax.tree.map(lambda x: jnp.sum(x, axis=0), ms),
+                    jnp.asarray(self.num_updates_per_step, jnp.float32),
+                )
 
             can_update = (~warmup) & (
                 replay_size(state.replay) >= self.replay_min_fill
             )
-            state, metrics = jax.lax.cond(
-                can_update, do_updates, lambda s: (s, _zero_metrics()), state
+            state, step_sums, step_n = jax.lax.cond(
+                can_update, do_updates,
+                lambda s: (s, _zero_metrics(), jnp.zeros(())), state,
             )
-            return state, metrics
+            return state, (step_sums, step_n)
 
         def ingest_update_act(state, obs_vec, env_actions, shaped, final_obs,
                               hard_done, time_outs, next_obs_vec, rewards,
@@ -703,7 +709,7 @@ class SACAgent:
             dominated wall time; the fusion preserves the reference's
             ordering exactly (updates from transition t-1 always happened
             before acting at t, sac_agent.py:664-745)."""
-            state, metrics = ingest_and_update(
+            state, sums_n = ingest_and_update(
                 state, obs_vec, env_actions, shaped, final_obs, hard_done,
                 time_outs, next_obs_vec, rewards, dones, valid,
             )
@@ -713,7 +719,7 @@ class SACAgent:
                 state.actor_params, state.obs_rms, akey,
                 self._actor_obs(next_obs_vec), warmup,
             )
-            return state, metrics, actions
+            return state, sums_n, actions
 
         def first_act(state, warmup):
             rng, akey = jax.random.split(state.rng)
@@ -738,9 +744,11 @@ class SACAgent:
             self._pending = None
         ingest_update_act, first_act = self._host_fns
 
-        metrics = self._last_host_metrics = getattr(
-            self, "_last_host_metrics", _zero_metrics()
-        )
+        # epoch-mean accumulation across the env-step loop (the reference
+        # averages every update's losses over the epoch,
+        # sac_agent.py:673-745)
+        epoch_sums = _zero_metrics()
+        epoch_n = jnp.zeros(())
         warmup = jnp.asarray(int(state.epoch) < self.num_warmup_steps)
         autoreset_mode = getattr(self.vec_env, "autoreset_mode", "same_step")
         if not hasattr(self, "_host_prev_dones"):
@@ -749,9 +757,11 @@ class SACAgent:
             if self._pending is None:
                 state, env_actions = first_act(state, warmup)
             else:
-                state, metrics, env_actions = ingest_update_act(
+                state, (step_sums, step_n), env_actions = ingest_update_act(
                     state, *self._pending, warmup
                 )
+                epoch_sums = jax.tree.map(jnp.add, epoch_sums, step_sums)
+                epoch_n = epoch_n + step_n
             next_obs, rewards, dones, infos = self.vec_env.step(
                 np.asarray(env_actions)
             )
@@ -781,7 +791,23 @@ class SACAgent:
             )
 
         state = state.replace(epoch=state.epoch + 1)
-        self._last_host_metrics = metrics
+        if float(epoch_n) > 0:
+            n_actor = jnp.maximum(epoch_sums["actor_updated"], 1.0)
+            metrics = {
+                k: epoch_sums[k] / (
+                    n_actor if k in ("actor_loss", "entropy", "alpha_loss")
+                    else epoch_n
+                )
+                for k in _METRIC_KEYS if k != "actor_updated"
+            }
+            metrics["actor_updated"] = epoch_sums["actor_updated"]
+            self._last_host_metrics = metrics
+        else:
+            # warmup / first epoch: no updates ran — keep the previous
+            # epoch's means for off-cadence logging
+            metrics = self._last_host_metrics = getattr(
+                self, "_last_host_metrics", _zero_metrics()
+            )
         out = dict(metrics)
         out["alpha"] = self._alpha(state.log_alpha)
         out["mean_rewards"] = meters_mean(state.game_rewards)

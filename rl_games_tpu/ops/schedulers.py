@@ -84,12 +84,27 @@ def build_scheduler(config: dict, base_lr: float):
             lr_multiplier=float(config.get("lr_multiplier", 1.5)),
         )
     if name == "linear":
-        max_steps = config.get("max_epochs", config.get("max_frames", 1000000))
+        # reference rule (a2c_common.py:199-217): epoch-based over
+        # max_epochs; max_epochs == -1 falls back to frame-based over
+        # max_frames; neither set -> identity (with the reference's
+        # console note)
+        max_epochs = int(config.get("max_epochs", -1) or -1)
+        max_frames = int(
+            max(config.get("max_frames", -1), config.get("max_steps", -1))
+        )
+        if max_epochs <= 0 and max_frames <= 0:
+            print(
+                "Max epochs and max frames are not set. Linear learning "
+                "rate schedule can't be used, switching to the constant "
+                "(identity) one."
+            )
+            return IdentityScheduler()
+        use_epochs = max_epochs > 0
         return LinearScheduler(
             start_lr=float(base_lr),
             min_lr=float(config.get("min_lr", 1e-6)),
-            max_steps=max_steps,
-            use_epochs="max_epochs" in config or "max_frames" not in config,
+            max_steps=max_epochs if use_epochs else max_frames,
+            use_epochs=use_epochs,
             apply_to_entropy=config.get("schedule_entropy", False),
             start_entropy_coef=float(config.get("entropy_coef", 0.01)),
         )

@@ -178,6 +178,24 @@ def test_build_scheduler():
         build_scheduler({"lr_schedule": "linear", "max_epochs": 10}, 1e-4),
         LinearScheduler,
     )
+    # reference rule (a2c_common.py:199-217): max_epochs == -1 falls back
+    # to FRAME-based over max_frames; neither set -> identity
+    s = build_scheduler(
+        {"lr_schedule": "linear", "max_epochs": -1, "max_frames": 10_000_000},
+        1e-4,
+    )
+    assert isinstance(s, LinearScheduler)
+    assert not s.use_epochs and s.max_steps == 10_000_000
+    # mid-anneal lr at half the frame budget, NOT collapsed to min_lr
+    lr, _ = s.update(1e-4, 0.0, jnp.asarray(3), jnp.asarray(5_000_000), 0.0)
+    assert abs(float(lr) - (1e-6 + (1e-4 - 1e-6) * 0.5)) < 1e-9
+    assert isinstance(
+        build_scheduler(
+            {"lr_schedule": "linear", "max_epochs": -1, "max_frames": -1},
+            1e-4,
+        ),
+        IdentityScheduler,
+    )
 
 
 # --------------------------------------------------------------------- masked
