@@ -44,7 +44,11 @@ from rl_games_tpu.models import model_builder, models as M
 from rl_games_tpu.ops import losses as L
 from rl_games_tpu.ops import masked as MK
 from rl_games_tpu.ops.gae import compute_gae
-from rl_games_tpu.ops.running_stats import moving_init, moving_normalize, moving_update
+from rl_games_tpu.ops.running_stats import (
+    generalized_moving_stats_init,
+    generalized_moving_stats_normalize,
+    generalized_moving_stats_update,
+)
 from rl_games_tpu.ops.schedulers import build_scheduler
 
 
@@ -101,7 +105,7 @@ class PPOTrainState:
     params: Any
     opt_state: Any
     norm: M.NormState
-    adv_rms: Any  # MovingMeanStdState | None
+    adv_rms: Any  # GeneralizedMovingStatsState | None
     lr: jnp.ndarray
     entropy_coef: jnp.ndarray
     epoch: jnp.ndarray  # () int32
@@ -476,7 +480,10 @@ class PPOAgent:
             )
         n = self.num_actors * self.num_agents
         v = self.value_size
-        adv_rms = moving_init(()) if self.normalize_rms_advantage else None
+        adv_rms = (
+            generalized_moving_stats_init(())
+            if self.normalize_rms_advantage else None
+        )
         rnd_target = rnd_pred = rnd_opt = rnd_rms = None
         if self.rnd is not None:
             from rl_games_tpu.ops.running_stats import rms_init
@@ -785,10 +792,16 @@ class PPOAgent:
         adv_rms = state.adv_rms
         if self.normalize_advantage:
             if self.normalize_rms_advantage:
-                adv_rms = moving_update(
+                # the reference's GeneralizedMovingStats('mean_std',
+                # decay=momentum): EMA of mean and E[x^2] from zero, var
+                # floored at 1/max^2, normalized output clamped to +-5
+                # (a2c_common.py:342-344, moving_mean_std.py:50-126)
+                adv_rms = generalized_moving_stats_update(
                     adv_rms, advantages, decay=self.adv_rms_momentum
                 )
-                advantages = moving_normalize(adv_rms, advantages)
+                advantages = generalized_moving_stats_normalize(
+                    adv_rms, advantages, decay=self.adv_rms_momentum
+                )
             else:
                 advantages = L.normalize_advantage(advantages)
 
@@ -1723,9 +1736,9 @@ class PPOAgent:
             # reference's a2c_common.py:326-328)
             from rl_games_tpu.utils.writer import IntervalSummaryWriter
 
-            interval_writer = IntervalSummaryWriter(
-                writer, self.config.get("interval_summary", {})
-            )
+            # reference keys (summaries_interval_sec_min/max,
+            # defer_summaries_sec) live in the top-level config
+            interval_writer = IntervalSummaryWriter(writer, self.config)
             writer = interval_writer
         self.writer = writer
         observer = (self.config.get("features") or {}).get("observer")

@@ -227,8 +227,10 @@ def twohot_log_prob(logits, targets, bins=None):
 
 class OneHotDist:
     """Straight-through one-hot categorical (reference OneHotDist,
-    distributions.py:47-58): samples/modes are one-hot with gradients
-    flowing through the softmax probs."""
+    distributions.py:47-58): samples flow gradients through the softmax
+    probs (torch's OneHotCategoricalStraightThrough rsample), while mode()
+    uses the reference's own identity-through-LOGITS trick
+    (`_mode.detach() + logits - logits.detach()`, :56-58)."""
 
     def __init__(self, logits, unimix_ratio: float = 0.0):
         if unimix_ratio > 0.0:
@@ -247,7 +249,12 @@ class OneHotDist:
         hard = jax.nn.one_hot(
             jnp.argmax(self.logits, axis=-1), self.logits.shape[-1]
         )
-        return self._straight_through(hard)
+        # identity gradient w.r.t. the raw logits (reference :56-58), NOT
+        # the softmax Jacobian — near-deterministic distributions keep
+        # full-magnitude mode gradients
+        return (
+            jax.lax.stop_gradient(hard - self.logits) + self.logits
+        )
 
     def sample(self, key):
         idx = jax.random.categorical(key, self.logits, axis=-1)

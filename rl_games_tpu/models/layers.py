@@ -447,10 +447,13 @@ class ImpalaCNN(nn.Module):
 
 
 class NoisyLinear(nn.Module):
-    """NoisyNet factorized-gaussian linear layer (algos_torch/layers.py:
-    9-55): w = mu_w + sigma_w * (f(eps_in) f(eps_out)^T), exploration noise
-    resampled via an explicit key (pass None for the deterministic
-    mean-weight forward)."""
+    """NoisyNet linear layer with INDEPENDENT per-element gaussian noise
+    (algos_torch/layers.py:9-30 NoisyLinear): w = mu_w + sigma_w * eps with
+    eps ~ N(0,1) per weight, sigma_init = 0.017 constant, mu init
+    U(±sqrt(3/fan_in)) for weight AND bias. Exploration noise is resampled
+    via an explicit key (pass None for the deterministic mean-weight
+    forward). The reference's separate factorized variant
+    (NoisyFactorizedLinear, :33-55) is NoisyFactorizedLinear below."""
 
     features: int
     sigma_init: float = 0.017
@@ -473,6 +476,45 @@ class NoisyLinear(nn.Module):
         )
         sig_b = self.param(
             "sigma_b", nn.initializers.constant(self.sigma_init),
+            (self.features,),
+        )
+        if noise_key is None:
+            return x @ mu_w + mu_b
+        k1, k2 = jax.random.split(noise_key)
+        # independent N(0,1) per element (layers.py:25-30)
+        w = mu_w + sig_w * jax.random.normal(k1, (in_f, self.features))
+        b = mu_b + sig_b * jax.random.normal(k2, (self.features,))
+        return x @ w + b
+
+
+class NoisyFactorizedLinear(nn.Module):
+    """NoisyNet factorized-gaussian variant (algos_torch/layers.py:33-55
+    NoisyFactorizedLinear): w = mu_w + sigma_w * (f(eps_in) f(eps_out)^T)
+    with f(e) = sign(e)·sqrt(|e|), sigma_init = sigma_zero/sqrt(fan_in),
+    torch's default Linear init (U(±1/sqrt(fan_in))) for mu."""
+
+    features: int
+    sigma_zero: float = 0.4
+
+    @nn.compact
+    def __call__(self, x, noise_key=None):
+        in_f = x.shape[-1]
+        bound = (1.0 / in_f) ** 0.5
+
+        def torch_linear_uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        mu_w = self.param(
+            "mu_w", torch_default_kernel_init, (in_f, self.features)
+        )
+        mu_b = self.param("mu_b", torch_linear_uniform, (self.features,))
+        sigma_init = self.sigma_zero / (in_f ** 0.5)
+        sig_w = self.param(
+            "sigma_w", nn.initializers.constant(sigma_init),
+            (in_f, self.features),
+        )
+        sig_b = self.param(
+            "sigma_b", nn.initializers.constant(sigma_init),
             (self.features,),
         )
         if noise_key is None:
@@ -544,6 +586,12 @@ class RNNCore(nn.Module):
         num_seqs, seq_len, _ = x.shape
         if dones is None:
             dones = jnp.zeros((num_seqs, seq_len), x.dtype)
+        if states is None:
+            # zero initial states, like the reference's None defense
+            # (network_builder.py:466-478) — export/tracing call sites
+            # invoke forward_play without explicit rnn_states
+            zeros = jnp.zeros((self.num_layers, num_seqs, self.units), x.dtype)
+            states = (zeros, zeros) if self.kind == "lstm" else (zeros,)
         # states → per-layer flax carries
         if self.kind == "lstm":
             h, c = states

@@ -24,9 +24,12 @@ from rl_games_tpu.models.network_builder import A2CNetwork
 from rl_games_tpu.ops import divergence
 from rl_games_tpu.ops.running_stats import (
     rms_init,
+    rms_init_obs,
     rms_normalize,
+    rms_normalize_obs,
     rms_denormalize,
     rms_update_from_batch,
+    rms_update_obs,
 )
 
 
@@ -42,7 +45,7 @@ def init_norm_state(obs_shape, value_size, normalize_input, normalize_value):
     obs_norm = None
     if normalize_input:
         if isinstance(obs_shape, dict):
-            obs_norm = {k: rms_init(v) for k, v in obs_shape.items()}
+            obs_norm = rms_init_obs(obs_shape)
         else:
             obs_norm = rms_init(obs_shape)
     value_norm = rms_init((value_size,)) if normalize_value else None
@@ -54,7 +57,7 @@ def norm_obs(norm: NormState, obs):
     if norm.obs is None:
         return obs
     if isinstance(obs, dict):
-        return {k: rms_normalize(norm.obs[k], v) for k, v in obs.items()}
+        return rms_normalize_obs(norm.obs, obs)
     return rms_normalize(norm.obs, obs)
 
 
@@ -69,7 +72,7 @@ def update_obs_stats(norm: NormState, obs, mask=None) -> NormState:
     if norm.obs is None:
         return norm
     if isinstance(obs, dict):
-        new = {k: rms_update_from_batch(norm.obs[k], v, mask) for k, v in obs.items()}
+        new = rms_update_obs(norm.obs, obs, mask)
     else:
         new = rms_update_from_batch(norm.obs, obs, mask)
     return norm.replace(obs=new)
@@ -242,7 +245,14 @@ class ModelA2CContinuousTanh(BaseModel):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
         dist = self._dist(out)
         if entropy_key is None:
-            entropy_key = jax.random.PRNGKey(0)
+            # a silent PRNGKey(0) fallback would freeze the entropy noise
+            # across every minibatch — the exact bug the trainer threads
+            # fresh per-minibatch keys to avoid
+            raise ValueError(
+                "ModelA2CContinuousTanh.forward_train needs entropy_key "
+                "(fresh per minibatch); the sampled-entropy estimate is "
+                "biased under a constant key"
+            )
         return passthrough_extras(out, {
             "prev_neglogp": -dist.log_prob(prev_actions),
             "values": out["value"],
@@ -322,6 +332,22 @@ class ModelA2C(BaseModel):
         return divergence.d_kl_discrete(old_logp, new_logp)
 
 
+
+def _split_masks(action_masks, n_heads):
+    """Per-head mask tuple from None / a tuple / a stacked [B, heads, n]
+    array (host envs return one ndarray; `or`-truthiness on arrays raises,
+    and indexing a stacked array by head needs axis 1, not 0)."""
+    if action_masks is None:
+        return (None,) * n_heads
+    if isinstance(action_masks, (tuple, list)):
+        return tuple(action_masks)
+    if action_masks.ndim >= 3 and action_masks.shape[-2] == n_heads:
+        return tuple(action_masks[..., i, :] for i in range(n_heads))
+    return (action_masks,) * n_heads if n_heads == 1 else tuple(
+        action_masks[i] for i in range(n_heads)
+    )
+
+
 class ModelA2CMultiDiscrete(BaseModel):
     """'multi_discrete_a2c' (models.py:128-200): per-head logp summed."""
 
@@ -333,7 +359,7 @@ class ModelA2CMultiDiscrete(BaseModel):
     ):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
         logits_list = out["logits"]
-        masks = action_masks or (None,) * len(logits_list)
+        masks = _split_masks(action_masks, len(logits_list))
         neglogp = sum(
             D.categorical_neglogp(l, prev_actions[..., i], masks[i])
             for i, l in enumerate(logits_list)
@@ -358,7 +384,7 @@ class ModelA2CMultiDiscrete(BaseModel):
     ):
         out = self.apply_network(params, norm, obs, rnn_states, dones, seq_length)
         logits_list = out["logits"]
-        masks = action_masks or (None,) * len(logits_list)
+        masks = _split_masks(action_masks, len(logits_list))
         keys = jax.random.split(key, len(logits_list))
         actions = []
         neglogp = 0.0

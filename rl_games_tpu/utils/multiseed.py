@@ -88,8 +88,11 @@ class MultiSeedTrainer:
         return wrapper
 
     def train_fn(self, mesh=None):
-        if self._fn is None:
+        # cache keyed on the mesh: a no-mesh warmup call must not pin the
+        # unsharded program for a later mesh=... caller (or vice versa)
+        if self._fn is None or getattr(self, "_fn_mesh", None) is not mesh:
             self._fn = self.make_train_fn(mesh=mesh)
+            self._fn_mesh = mesh
         return self._fn
 
     def epoch(self, stacked_state):

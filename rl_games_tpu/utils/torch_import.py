@@ -137,6 +137,15 @@ def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
         raise NotImplementedError(
             "d2rl torsos are not covered by the torch-checkpoint importer"
         )
+    if network_cfg.get("normalization"):
+        # a normalized torso's Sequential interleaves LayerNorm/BatchNorm
+        # .weight entries with the Linear ones, which would zip against the
+        # wrong flax modules — refuse clearly instead of mis-pairing
+        raise NotImplementedError(
+            "normalized torsos (network.normalization: "
+            f"{network_cfg['normalization']!r}) are not covered by the "
+            "torch-checkpoint importer"
+        )
     if network_cfg.get("cnn", {}).get("type") == "impala":
         raise NotImplementedError(
             "impala towers are not covered by the torch-checkpoint importer"

@@ -41,10 +41,11 @@ class IntervalSummaryWriter:
     def __init__(self, writer, config: dict = None):
         config = config or {}
         self.writer = writer
+        # reference config keys (interval_summary_writer.py:21-25)
         self.defer_summaries_sec = config.get("defer_summaries_sec", 5)
-        self.summary_every_sec = config.get("initial_summary_every_sec", 5)
-        self.min_interval = 5
-        self.max_interval = 300
+        self.min_interval = config.get("summaries_interval_sec_min", 5)
+        self.max_interval = config.get("summaries_interval_sec_max", 300)
+        self.summary_every_sec = self.min_interval
         self.interval_frac = 1.0 / 200
         self.start_time = time.time()
         self.last_write = 0.0
@@ -57,6 +58,10 @@ class IntervalSummaryWriter:
         )
 
     def add_scalar(self, tag, value, step):
+        if step == 0:
+            # faulty summaries after an experiment restart
+            # (interval_summary_writer.py:48-51)
+            return
         now = time.time()
         if now - self.start_time < self.defer_summaries_sec:
             return

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from rl_games_tpu.models.model_builder import ModelBuilder
 from rl_games_tpu.utils.export import export_policy, load_policy
-from tests.test_networks import mlp_params
+from test_networks import mlp_params
 
 
 def test_export_roundtrip_continuous(tmp_path):
@@ -63,7 +63,7 @@ def test_cli_export_verb(tmp_path):
     matches the player's own forward on the same obs (the reference's
     ONNX-notebook flow, as a CLI verb)."""
     from rl_games_tpu.runner import Runner
-    from tests.test_runner import load_cfg, shrink
+    from test_runner import load_cfg, shrink
 
     cfg = shrink(load_cfg("ppo_cartpole.yaml"), tmp_path, max_epochs=2)
     runner = Runner()
@@ -99,7 +99,7 @@ def test_cli_export_sac(tmp_path):
     obs normalization and action rescale baked into the artifact."""
     import yaml
     from rl_games_tpu.runner import Runner
-    from tests.test_runner import load_cfg
+    from test_runner import load_cfg
 
     cfg = load_cfg("sac_pendulum.yaml")
     c = cfg["params"]["config"]
@@ -128,3 +128,35 @@ def test_cli_export_sac(tmp_path):
     player.restore(ckpt)
     expected = np.asarray(player.make_export_policy()(obs))
     np.testing.assert_allclose(acts, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_rnn_forward_play_without_states():
+    """forward_play with rnn_states=None starts from zero states (the
+    reference's None defense, network_builder.py:466-478) — the export
+    call sites invoke the policy without explicit states."""
+    from rl_games_tpu.models.model_builder import ModelBuilder
+
+    params = {
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "lstm", "units": 16, "layers": 1},
+            "space": {"discrete": {}},
+        },
+    }
+    model = ModelBuilder().load(params, actions_num=2, input_shape=(3,))
+    obs = jnp.zeros((4, 3), jnp.float32)
+    net_params, norm = model.init(
+        jax.random.PRNGKey(0), obs, rnn_states=model.get_default_rnn_state(4)
+    )
+    out = model.forward_play(net_params, norm, jax.random.PRNGKey(1), obs)
+    assert out["actions"].shape == (4,)
+    # equals the explicit zero-state forward
+    zero_states = model.get_default_rnn_state(4)
+    out2 = model.forward_play(
+        net_params, norm, jax.random.PRNGKey(1), obs, rnn_states=zero_states
+    )
+    np.testing.assert_array_equal(np.asarray(out["actions"]),
+                                  np.asarray(out2["actions"]))

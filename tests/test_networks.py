@@ -273,7 +273,8 @@ def test_tanh_model_train_play_consistency():
     net_params, norm = model.init(jax.random.PRNGKey(0), obs)
     play = model.forward_play(net_params, norm, jax.random.PRNGKey(1), obs)
     assert np.abs(np.asarray(play["actions"])).max() <= 1.0  # tanh-squashed
-    train = model.forward_train(net_params, norm, obs, play["actions"])
+    train = model.forward_train(net_params, norm, obs, play["actions"],
+                                entropy_key=jax.random.PRNGKey(9))
     np.testing.assert_allclose(
         np.asarray(train["prev_neglogp"]), np.asarray(play["neglogpacs"]),
         rtol=1e-3, atol=1e-3,
@@ -324,16 +325,31 @@ def test_impala_attention_and_extras():
 
 
 def test_noisy_linear():
+    """Both reference NoisyNet layers (algos_torch/layers.py):
+    NoisyLinear = independent per-element noise with sigma_init 0.017 and
+    U(±sqrt(3/fan_in)) mu init; NoisyFactorizedLinear = sign-sqrt rank-1
+    noise with sigma_init sigma_zero/sqrt(fan_in)."""
     import jax
     import jax.numpy as jnp
-    from rl_games_tpu.models.layers import NoisyLinear
+    from rl_games_tpu.models.layers import NoisyFactorizedLinear, NoisyLinear
 
-    layer = NoisyLinear(8)
     x = jnp.ones((3, 4))
+    for cls, sig_expect in ((NoisyLinear, 0.017),
+                            (NoisyFactorizedLinear, 0.4 / 2.0)):
+        layer = cls(8)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        leaf = params["params"]["sigma_w"]
+        np.testing.assert_allclose(np.asarray(leaf), sig_expect, rtol=1e-6)
+        det = layer.apply(params, x)
+        n1 = layer.apply(params, x, noise_key=jax.random.PRNGKey(1))
+        n2 = layer.apply(params, x, noise_key=jax.random.PRNGKey(2))
+        assert det.shape == (3, 8)
+        assert not np.allclose(np.asarray(n1), np.asarray(n2))
+        assert not np.allclose(np.asarray(det), np.asarray(n1))
+    # independent-noise layer: noise is NOT rank-1 (factorized would be)
+    layer = NoisyLinear(8)
     params = layer.init(jax.random.PRNGKey(0), x)
-    det = layer.apply(params, x)
-    n1 = layer.apply(params, x, noise_key=jax.random.PRNGKey(1))
-    n2 = layer.apply(params, x, noise_key=jax.random.PRNGKey(2))
-    assert det.shape == (3, 8)
-    assert not np.allclose(np.asarray(n1), np.asarray(n2))
-    assert not np.allclose(np.asarray(det), np.asarray(n1))
+    e = jnp.eye(4)
+    w_noisy = np.asarray(layer.apply(params, e, noise_key=jax.random.PRNGKey(3))
+                         - layer.apply(params, e))
+    assert np.linalg.matrix_rank(w_noisy, tol=1e-5) > 1

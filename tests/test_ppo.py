@@ -281,10 +281,18 @@ def test_onehot_dist_straight_through():
     val = f(logits)
     assert float(val) == 1.0  # argmax bin 0
     g = jax.grad(f)(logits)
-    # straight-through: gradients flow through softmax probs (nonzero)
-    assert float(jnp.abs(g).sum()) > 0.0
+    # mode() straight-through is IDENTITY w.r.t. the raw logits
+    # (reference distributions.py:56-58: _mode.detach() + logits -
+    # logits.detach()), not the softmax Jacobian
+    np.testing.assert_allclose(np.asarray(g), [[1.0, 2.0, 3.0]], rtol=1e-6)
     s = OneHotDist(logits).sample(jax.random.PRNGKey(0))
     assert s.shape == logits.shape and float(s.sum()) == 1.0
+    # sample() straight-through flows through the softmax probs
+    gs = jax.grad(
+        lambda lg: (OneHotDist(lg).sample(jax.random.PRNGKey(0))
+                    * jnp.asarray([1.0, 2.0, 3.0])).sum()
+    )(logits)
+    assert float(jnp.abs(gs).sum()) > 0.0
 
 
 def test_soft_augmentation_consistency_loss():
@@ -303,3 +311,20 @@ def test_soft_augmentation_consistency_loss():
     state, m = run_epochs(agent, 40)
     assert np.isfinite(float(m["a_loss"]))
     assert float(m["mean_rewards"][0]) > 40.0
+
+
+def test_normalize_rms_advantage_uses_generalized_stats():
+    """normalize_rms_advantage uses the reference's GeneralizedMovingStats
+    'mean_std' math (EMA of mean and E[x²] from zero, ±5 clamp —
+    a2c_common.py:342-344, moving_mean_std.py:50-126), not a plain EMA of
+    batch variance; CartPole still trains under it."""
+    from rl_games_tpu.ops.running_stats import GeneralizedMovingStatsState
+
+    params = cartpole_params(normalize_rms_advantage=True)
+    agent = PPOAgent("t", params)
+    state = agent.init_state()
+    assert isinstance(state.adv_rms, GeneralizedMovingStatsState)
+    state, m = run_epochs(agent, 60)
+    assert float(m["mean_rewards"][0]) > 60.0
+    # stats actually advanced (E[x²] EMA moved off zero)
+    assert float(jnp.abs(state.adv_rms.high)) > 0.0
