@@ -74,17 +74,28 @@ def last_progress(log_path, kind):
 
 
 def alive(cfg):
-    """True if some live process cmdline mentions this config file."""
+    """True if a REAL trainer process runs this config file.
+
+    Matches only cmdlines that BEGIN with the trainer invocation (python /
+    its timeout/setsid wrappers) — interactive shells legitimately carry
+    old command text inside eval wrappers and must not count."""
     base = os.path.basename(cfg)
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read().decode(errors="replace")
+                argv = f.read().decode(errors="replace").split("\0")
         except OSError:
             continue
-        if base in cmd and "rl_games_tpu" in cmd and "babysit" not in cmd:
+        while argv and os.path.basename(argv[0]) in ("setsid", "timeout"):
+            argv = argv[2:] if argv[0].endswith("timeout") else argv[1:]
+        if not argv or os.path.basename(argv[0]) not in (
+            "python", "python3", "python3.12"
+        ):
+            continue
+        cmd = " ".join(argv)
+        if base in cmd and "rl_games_tpu" in cmd:
             return True
     return False
 
