@@ -102,15 +102,29 @@ def prioritized_sample(
     # empty slots carry p_alpha=0 -> log 0 = -inf -> never sampled
     logits = jnp.log(jnp.maximum(state.p_alpha, 1e-30))
     logits = jnp.where(state.p_alpha > 0, logits, -jnp.inf)
-    idxes = jax.random.categorical(key, logits, shape=(batch_size,))
-    p_total = state.p_alpha.sum()
+    # jit-safe analog of the reference's error on an empty tree: with no
+    # positive priority (empty / not-yet-filled buffer), fall back to
+    # uniform over the first max(size,1) rows with unit weights instead
+    # of arbitrary indexes and 0/0 = NaN weights — callers still gate on
+    # fill level, this only removes the silent-NaN failure mode
+    any_mass = state.p_alpha.sum() > 0
     size_f = jnp.maximum(state.size.astype(jnp.float32), 1.0)
-    p_sample = state.p_alpha[idxes] / p_total
+    uniform = jax.random.randint(
+        key, (batch_size,), 0, jnp.maximum(state.size, 1)
+    )
+    idxes = jnp.where(
+        any_mass,
+        jax.random.categorical(key, logits, shape=(batch_size,)),
+        uniform,
+    )
+    p_total = jnp.maximum(state.p_alpha.sum(), 1e-30)
+    p_sample = jnp.maximum(state.p_alpha[idxes], 1e-30) / p_total
     p_min = jnp.min(
         jnp.where(state.p_alpha > 0, state.p_alpha, jnp.inf)
     ) / p_total
     max_weight = (p_min * size_f) ** (-beta)
     weights = (p_sample * size_f) ** (-beta) / max_weight
+    weights = jnp.where(any_mass, weights, jnp.ones_like(weights))
     batch = {
         "obs": state.obses[idxes],
         "action": state.actions[idxes],

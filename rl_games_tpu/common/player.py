@@ -59,7 +59,8 @@ class BasePlayer:
             params,
             actions_num=self.actions_num,
             input_shape=self.obs_shape
-            if not isinstance(self.obs_shape, dict)
+            if not (isinstance(self.obs_shape, dict)
+                    and "obs" in self.obs_shape)
             else self.obs_shape["obs"],
             value_size=self.value_size,
             normalize_input=config.get("normalize_input", False),
@@ -72,7 +73,7 @@ class BasePlayer:
             obs = self._to_device_obs(self.vec_env.reset())
         else:
             _, obs = self.vec_env.reset(rng)
-        example = obs["obs"] if isinstance(obs, dict) else obs
+        example = self._actor_obs(obs)
         self.net_params, self.norm = self.model.init(rng, example)
 
     def restore(self, checkpoint_path: str):
@@ -103,7 +104,12 @@ class BasePlayer:
         )
 
     def _actor_obs(self, obs):
-        return obs["obs"] if isinstance(obs, dict) else obs
+        """Same guard as the trainer (algos/ppo.py _actor_obs): only the
+        {'obs','states'} asymmetric wrapper unwraps — a genuine dict
+        observation space passes through whole (custom networks)."""
+        if isinstance(obs, dict) and set(obs.keys()) <= {"obs", "states"}:
+            return obs["obs"]
+        return obs
 
     @staticmethod
     def _to_device_obs(o):
@@ -316,7 +322,7 @@ class SACPlayer(BasePlayer):
             obs = self._to_device_obs(self.vec_env.reset())
         else:
             _, obs = self.vec_env.reset(rng)
-        example = obs["obs"] if isinstance(obs, dict) else obs
+        example = self._actor_obs(obs)
         self.actor_params = self.actor.init(rng, example)
         self.obs_rms = (
             rms_init(self.obs_shape)

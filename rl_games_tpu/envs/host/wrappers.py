@@ -250,6 +250,14 @@ def wrap_deepmind(env, episode_life=True, clip_rewards=True, frame_stack=True,
     env = MaxAndSkipEnv(env, skip=skip)
     if episode_life:
         env = EpisodicLifeEnv(env)
+    # FIRE-gated games (Breakout-class) need the launch pressed on every
+    # reset, incl. EpisodicLife pseudo-resets (wrappers.py:687-688)
+    try:
+        meanings = env.unwrapped.get_action_meanings()
+    except AttributeError:
+        meanings = ()
+    if "FIRE" in meanings:
+        env = FireResetEnv(env)
     if warp:
         env = WarpFrame(env)
     if scale:

@@ -85,20 +85,6 @@ JOINT_HI = jnp.tile(jnp.asarray([0.7, 1.45]), N_LEGS)
 KNEE_INIT = 0.9
 
 
-def _euler_to_matrix(rpy):
-    """World-from-body rotation R = Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
-    cr, sr = jnp.cos(rpy[0]), jnp.sin(rpy[0])
-    cp, sp = jnp.cos(rpy[1]), jnp.sin(rpy[1])
-    cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
-    return jnp.asarray(
-        [
-            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
-            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
-            [-sp, cp * sr, cp * cr],
-        ]
-    )
-
-
 def _link_frames(q):
     """COM positions + orientations of all 9 bodies and the 4 foot tips.
 
@@ -132,10 +118,15 @@ def _link_frames(q):
         knee_p = v_add(anchor, v_scale(LINK_L, d1w))
         shin_coms.append(v_add(knee_p, v_scale(0.5 * LINK_L, d2w)))
         feet.append(v_add(knee_p, v_scale(LINK_L, d2w)))
-        # world-from-link: thigh = R @ Rz(gam), shin = thigh_R @ Ry(knee)
+        # world-from-link: thigh = R @ Rz(gam), shin = thigh_R @ Ry(-knee).
+        # The MINUS sign keeps the shin's body frame consistent with its
+        # direction vector d2: rot_y(a) maps e_x to (cos a, 0, +sin a) in
+        # the thigh frame while d2 tilts to -z for positive knee — with
+        # +knee the shin frame would pitch opposite to the shin itself,
+        # flipping the knee's rotational-inertia coupling sign in T(q, qd)
         thigh_R = mat_mul(R, rot_z(gam))
         thigh_Rs.append(thigh_R)
-        shin_Rs.append(mat_mul(thigh_R, rot_y(knee)))
+        shin_Rs.append(mat_mul(thigh_R, rot_y(-knee)))
 
     coms = stack_vec([pos] + thigh_coms + shin_coms)
     Rs = stack_mat([R] + thigh_Rs + shin_Rs)

@@ -66,7 +66,7 @@ def v_scale(s, a):
 
 def euler_zyx(roll, pitch, yaw):
     """World-from-body R = Rz(yaw) @ Ry(pitch) @ Rx(roll) as a scalar
-    tuple (ant3d._euler_to_matrix formulas)."""
+    tuple (standard ZYX Euler formulas)."""
     cr, sr = jnp.cos(roll), jnp.sin(roll)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     cy, sy = jnp.cos(yaw), jnp.sin(yaw)

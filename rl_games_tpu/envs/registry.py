@@ -58,6 +58,14 @@ def get_env_info(env) -> dict:
 
 def _create_jax_vecenv(cfg, num_actors, **kwargs):
     kwargs.pop("seed", None)  # device envs seed via the agent's PRNG key
+    if "env_creator" not in cfg:
+        raise ValueError(
+            "JAX-family vecenv types need an 'env_creator': register the "
+            "env name first (envs.registry.register(name, {'vecenv_type': "
+            "'JAX', 'env_creator': ...})); on-the-fly binding by "
+            "vecenv_type alone only works for host backends that resolve "
+            "the name themselves (GYMNASIUM/DMCONTROL/...)"
+        )
     env = cfg["env_creator"](**{**cfg.get("env_config", {}), **kwargs})
     return JaxVecEnv(
         env, num_actors, max_episode_steps=cfg.get("max_episode_steps")

@@ -11,7 +11,6 @@ from rl_games_tpu.envs.jax.ant3d import (
     LINK_L,
     NQ,
     TORSO_I,
-    _euler_to_matrix,
     kinetic_energy,
     potential_energy,
 )
@@ -58,10 +57,12 @@ def test_rotational_ke_isotropic_identity():
 
 
 def test_euler_matrix_orthonormal():
+    from rl_games_tpu.envs.jax.lagrangian import euler_zyx, stack_mat
+
     rng = np.random.default_rng(3)
     for _ in range(5):
         rpy = jnp.asarray(rng.uniform(-1.0, 1.0, size=3), jnp.float32)
-        R = np.asarray(_euler_to_matrix(rpy))
+        R = np.asarray(stack_mat([euler_zyx(rpy[0], rpy[1], rpy[2])])[0])
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
 

@@ -195,3 +195,28 @@ def test_grasp2d_learns_pick_and_place():
             first = float(m["mean_rewards"][0])
     last = float(m["mean_rewards"][0])
     assert last > first + 20.0, (first, last)
+
+
+def test_player_runs_dict_obs_env():
+    """BasePlayer on a genuine dict observation space (custom-network
+    contract): the {'obs','states'} unwrap guard must not swallow real
+    dict obs (reference players run these through the same model path)."""
+    from rl_games_tpu.common.player import PpoPlayer
+
+    params = {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {"name": "testnet_dict", "with_aux_loss": False,
+                    "mlp": {"units": [16, 16]}},
+        "config": {
+            "env_name": "test_dict_obs_env", "num_actors": 4,
+            "normalize_input": False, "normalize_value": False,
+            "player": {"games_num": 4, "num_actors": 4},
+            "seed": 3, "import_modules": ["rl_games_tpu.models.test_network"],
+        },
+    }
+    for module in params["config"]["import_modules"]:
+        __import__(module)
+    player = PpoPlayer(params)
+    reward = player.run(games_num=4)
+    assert np.isfinite(float(reward))
