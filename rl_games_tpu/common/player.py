@@ -198,25 +198,45 @@ class BasePlayer:
         print(f"av reward: {mean_reward:.2f} games played: {len(returns)}")
         return mean_reward
 
+    # -- the two action seams subclasses override (SACPlayer) -------------
+    def _play_actions(self, key, obs, env_state=None):
+        """env-space actions for the DEVICE eval loop (jit-traced)."""
+        mask_kwargs = {}
+        if self.use_action_masks:
+            mask_kwargs["action_masks"] = self.vec_env.get_action_masks(
+                env_state
+            )
+        res = self.model.forward_play(
+            self.net_params, self.norm, key, self._actor_obs(obs),
+            deterministic=self.deterministic, **mask_kwargs,
+        )
+        return self._env_actions(res["actions"])
+
+    def _make_host_act(self):
+        """(key, obs[, masks]) -> env actions closure for the host loop."""
+        def fwd(p, nm, k, o, masks=None):
+            kwargs = {} if masks is None else {"action_masks": masks}
+            return self._env_actions(
+                self.model.forward_play(
+                    p, nm, k, self._actor_obs(o),
+                    deterministic=self.deterministic, **kwargs,
+                )["actions"]
+            )
+
+        jit_act = jax.jit(fwd)
+        return lambda k, o, *m: jit_act(self.net_params, self.norm, k, o, *m)
+
     def run(self, games_num: Optional[int] = None, **_):
         games_num = games_num or self.games_num
         if self.player_cfg.get("evaluation"):
             self.maybe_load_new_checkpoint()
         if self.is_host_env:
-            def fwd(p, nm, k, o, masks=None):
-                kwargs = {} if masks is None else {"action_masks": masks}
-                return self._env_actions(
-                    self.model.forward_play(
-                        p, nm, k, self._actor_obs(o),
-                        deterministic=self.deterministic, **kwargs,
-                    )["actions"]
-                )
+            return self._host_run(games_num, self._make_host_act())
+        return self._device_run(games_num)
 
-            jit_act = jax.jit(fwd)
-            return self._host_run(
-                games_num,
-                lambda k, o, *m: jit_act(self.net_params, self.norm, k, o, *m),
-            )
+    def _device_run(self, games_num: int):
+        """Jitted device eval: one lax.scan over steps, meters on device.
+        Shared by every player — subclasses only override _play_actions."""
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
         env_state, obs = self.vec_env.reset(ekey)
@@ -226,17 +246,8 @@ class BasePlayer:
         def step(carry, _):
             env_state, obs, rng, cur_rew, meters = carry
             rng, akey = jax.random.split(rng)
-            mask_kwargs = {}
-            if self.use_action_masks:
-                mask_kwargs["action_masks"] = self.vec_env.get_action_masks(
-                    env_state
-                )
-            res = self.model.forward_play(
-                self.net_params, self.norm, akey, self._actor_obs(obs),
-                deterministic=self.deterministic, **mask_kwargs,
-            )
             env_state, obs, rewards, dones, infos = self.vec_env.step(
-                env_state, self._env_actions(res["actions"])
+                env_state, self._play_actions(akey, obs, env_state)
             )
             if rewards.ndim == 1:
                 rewards = rewards[:, None]
@@ -370,75 +381,27 @@ class SACPlayer(BasePlayer):
 
         return policy
 
-    def run(self, games_num: Optional[int] = None, **_):
+    def _sac_actions(self, akey, obs_vec):
         from rl_games_tpu.models.sac import SACActor
         from rl_games_tpu.ops.running_stats import rms_normalize
 
-        games_num = games_num or self.games_num
-
-        def sac_actions(akey, obs_vec):
-            if self.obs_rms is not None:
-                obs_vec = rms_normalize(self.obs_rms, obs_vec)
-            mu, std = self.actor.apply(self.actor_params, obs_vec)
-            if self.deterministic:
-                actions = jnp.tanh(mu)
-            else:
-                actions, _ = SACActor.sample(akey, mu, std)
-            return jnp.clip(
-                actions * self.action_scale + self.action_bias,
-                self.env_info.action_space.low,
-                self.env_info.action_space.high,
-            )
-
-        if self.is_host_env:
-            self.value_size = 1
-            jit_act = jax.jit(
-                lambda k, o: sac_actions(k, self._actor_obs(o))
-            )
-            return self._host_run(games_num, jit_act)
-        rng = jax.random.PRNGKey(self.seed + 1)
-        rng, ekey = jax.random.split(rng)
-        env_state, obs = self.vec_env.reset(ekey)
-        n = self.num_actors
-        meters = meters_init(max(games_num, 1), 1)
-
-        def step(carry, _):
-            env_state, obs, rng, cur_rew, meters = carry
-            rng, akey = jax.random.split(rng)
-            obs_vec = self._actor_obs(obs)
-            if self.obs_rms is not None:
-                obs_vec = rms_normalize(self.obs_rms, obs_vec)
-            mu, std = self.actor.apply(self.actor_params, obs_vec)
-            if self.deterministic:
-                actions = jnp.tanh(mu)
-            else:
-                actions, _ = SACActor.sample(akey, mu, std)
-            env_actions = jnp.clip(
-                actions * self.action_scale + self.action_bias,
-                self.env_info.action_space.low,
-                self.env_info.action_space.high,
-            )
-            env_state, obs, rewards, dones, infos = self.vec_env.step(
-                env_state, env_actions
-            )
-            cur_rew = cur_rew + rewards.reshape(n, 1)
-            meters = meters_update(meters, cur_rew, dones.astype(bool))
-            cur_rew = cur_rew * (1.0 - dones.astype(jnp.float32))[:, None]
-            return (env_state, obs, rng, cur_rew, meters), None
-
-        steps_needed = min(
-            self.max_steps,
-            (self.vec_env.max_episode_steps or 1000) * (games_num // n + 2),
+        if self.obs_rms is not None:
+            obs_vec = rms_normalize(self.obs_rms, obs_vec)
+        mu, std = self.actor.apply(self.actor_params, obs_vec)
+        if self.deterministic:
+            actions = jnp.tanh(mu)
+        else:
+            actions, _ = SACActor.sample(akey, mu, std)
+        return jnp.clip(
+            actions * self.action_scale + self.action_bias,
+            self.env_info.action_space.low,
+            self.env_info.action_space.high,
         )
 
-        @jax.jit
-        def rollout(carry):
-            return jax.lax.scan(step, carry, None, length=steps_needed)
+    # the shared BasePlayer loops drive these two seams
+    def _play_actions(self, key, obs, env_state=None):
+        return self._sac_actions(key, self._actor_obs(obs))
 
-        carry = (env_state, obs, rng, jnp.zeros((n, 1)), meters)
-        carry, _ = rollout(carry)
-        meters = carry[4]
-        games_played = int(meters.count)
-        mean_reward = float(meters_mean(meters)[0]) if games_played else 0.0
-        print(f"av reward: {mean_reward:.2f} games played: {games_played}")
-        return mean_reward
+    def _make_host_act(self):
+        self.value_size = 1
+        return jax.jit(lambda k, o: self._sac_actions(k, self._actor_obs(o)))
