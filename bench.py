@@ -48,8 +48,10 @@ def main():
     # alone is NOT sufficient under the relay; the scalar D2H transfer is.
     # Median of 3 windows: the chip is sometimes shared with other
     # processes (benchmark jobs, relay traffic); the median sheds a
-    # transiently-contended window without inflating the figure.
-    n_epochs = 15
+    # transiently-contended window without inflating the figure. Windows
+    # stay 30 epochs long so the one ~30 ms relay readback per window
+    # amortizes to ~1 ms/epoch (docs/PERF.md methodology).
+    n_epochs = 30
     frames_per_epoch = agent.batch_size
     rates = []
     for _ in range(3):
