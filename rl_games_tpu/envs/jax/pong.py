@@ -1,0 +1,228 @@
+"""Device-resident Pong: the Atari-Pong-class pixel benchmark env.
+
+The reference's headline Atari rows (docs/ENVPOOL.md:65 — "Pong-v5 score
+20+ in ~2 min", configs/atari/ppo_pong_envpool.yaml) run on the external
+envpool/ALE C++ emulator, which this image does not carry. This env is the
+TPU-native stand-in: the full game — two paddles, ball physics with spin,
+a speed-limited scripted opponent, first-to-21 scoring exactly like
+ALE Pong (episode return in [-21, +21]) — lives on the accelerator as pure
+JAX scalar ops, and the observation is an 84x84 float image rendered
+inside the jitted step (the same 84x84 frame geometry the reference's
+Atari preprocessing produces, wrappers.py:WarpFrame). Pixels never touch
+the host; the whole pixel -> nature-CNN -> PPO update path is one compiled
+program.
+
+Game rules (mirroring ALE Pong semantics):
+- the agent's paddle is on the right, the scripted opponent on the left;
+  Discrete(3) actions {up, stay, down} (ALE's NOOP/FIRE collapse to stay).
+- a point is scored when the ball crosses a paddle plane without paddle
+  overlap and reaches the back wall; reward +1 / -1 per point (the
+  reference clips Atari rewards to [-1, 1] the same way,
+  configs/atari/ppo_pong_envpool.yaml reward_shaper min/max).
+- first to 21 points ends the episode, so a perfect agent scores +21 and
+  the reference's "score 20+" target means winning nearly every rally.
+- paddle hits add spin: the contact offset sets the outgoing vertical
+  velocity (up to BALL_VY_MAX), and |vx| grows 5% per hit (capped). The
+  opponent tracks the incoming ball at OPP_SPEED < BALL_VY_MAX, so
+  edge hits produce angles it cannot cover — beatable, not trivially.
+
+Velocity observability: the previous ball position is rendered as a
+half-intensity trail (the device-side equivalent of the reference's
+4-frame stack for this 1-ball game); both scores are drawn as pixel bars
+in the top rows like ALE's on-screen score.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rl_games_tpu.envs.jax.base import JaxEnv
+from rl_games_tpu.envs.spaces import Box, Discrete, EnvInfo
+
+
+@struct.dataclass
+class PongState:
+    ball_x: jnp.ndarray  # f32 scalar, pixels
+    ball_y: jnp.ndarray
+    vel_x: jnp.ndarray
+    vel_y: jnp.ndarray
+    prev_bx: jnp.ndarray  # last step's ball position (rendered as trail)
+    prev_by: jnp.ndarray
+    agent_y: jnp.ndarray  # paddle centers
+    opp_y: jnp.ndarray
+    agent_score: jnp.ndarray  # int32
+    opp_score: jnp.ndarray
+
+
+class DevicePong(JaxEnv):
+    """First-to-21 Pong on an 84x84x1 float image rendered on device."""
+
+    H = 84
+    W = 84
+    PADDLE_HALF = 4.0       # paddle spans center ± 4 px (8 px tall)
+    PADDLE_SPEED = 2.0      # agent px/step
+    OPP_SPEED = 1.15        # opponent tracking px/step (< BALL_VY_MAX)
+    OPP_RETURN_SPEED = 0.5  # opponent drift to center when ball outbound
+    OPP_DEADZONE = 1.0
+    AGENT_PLANE = 80.0      # x of the agent paddle face
+    OPP_PLANE = 3.0
+    BALL_VX0 = 2.0          # serve speed
+    BALL_VX_MAX = 3.5
+    BALL_VY_MAX = 3.0       # edge-hit outgoing vertical speed
+    WIN_SCORE = 21
+
+    # a 21-0 rout takes ~1.5k steps; mutual long rallies bound well under
+    # this (ALE Pong episodes run ~3k frames at frameskip 4 too)
+    max_episode_steps = 8192
+
+    def env_info(self):
+        return EnvInfo(
+            observation_space=Box(shape=(self.H, self.W, 1), low=0.0,
+                                  high=1.0),
+            action_space=Discrete(n=3),
+        )
+
+    # -- serve ---------------------------------------------------------------
+    def _serve(self, key, direction):
+        """Center serve toward `direction` (+1 = at the agent)."""
+        vy = jax.random.uniform(key, (), minval=-1.5, maxval=1.5)
+        return (
+            jnp.float32(self.W / 2),
+            jnp.float32(self.H / 2),
+            direction * jnp.float32(self.BALL_VX0),
+            vy.astype(jnp.float32),
+        )
+
+    def reset(self, key):
+        k_serve, k_dir = jax.random.split(key)
+        direction = jnp.where(
+            jax.random.bernoulli(k_dir), jnp.float32(1.0), jnp.float32(-1.0)
+        )
+        bx, by, vx, vy = self._serve(k_serve, direction)
+        c = jnp.float32(self.H / 2)
+        state = PongState(
+            ball_x=bx, ball_y=by, vel_x=vx, vel_y=vy,
+            prev_bx=bx, prev_by=by,
+            agent_y=c, opp_y=c,
+            agent_score=jnp.zeros((), jnp.int32),
+            opp_score=jnp.zeros((), jnp.int32),
+        )
+        return state, self._render(state)
+
+    # -- render --------------------------------------------------------------
+    def _render(self, s: PongState) -> jnp.ndarray:
+        rows = jnp.arange(self.H, dtype=jnp.float32)[:, None]
+        cols = jnp.arange(self.W, dtype=jnp.float32)[None, :]
+
+        def blob(cy, cx, hr, hc):
+            return (jnp.abs(rows - cy) <= hr) & (jnp.abs(cols - cx) <= hc)
+
+        img = jnp.zeros((self.H, self.W), jnp.float32)
+        # score bars along the top (ALE draws the score on screen too):
+        # opponent from the left edge, agent from the right edge
+        score_row = rows < 2
+        img = jnp.where(score_row & (cols < s.opp_score), 0.25, img)
+        img = jnp.where(
+            score_row & (cols >= self.W - s.agent_score), 0.25, img
+        )
+        img = jnp.where(
+            blob(s.opp_y, self.OPP_PLANE - 1.0, self.PADDLE_HALF, 0.5),
+            0.75, img)
+        img = jnp.where(
+            blob(s.agent_y, self.AGENT_PLANE + 1.0, self.PADDLE_HALF, 0.5),
+            0.75, img)
+        img = jnp.where(blob(s.prev_by, s.prev_bx, 1.0, 1.0), 0.5, img)
+        img = jnp.where(blob(s.ball_y, s.ball_x, 1.0, 1.0), 1.0, img)
+        return img[..., None]
+
+    # -- dynamics ------------------------------------------------------------
+    def step(self, s: PongState, action, key):
+        move = (jnp.asarray(action, jnp.int32) - 1).astype(jnp.float32)
+        agent_y = jnp.clip(
+            s.agent_y + move * self.PADDLE_SPEED,
+            self.PADDLE_HALF, self.H - 1 - self.PADDLE_HALF,
+        )
+
+        # scripted opponent: track the incoming ball, drift home otherwise
+        inbound = s.vel_x < 0
+        target = jnp.where(inbound, s.ball_y, jnp.float32(self.H / 2))
+        speed = jnp.where(inbound, self.OPP_SPEED, self.OPP_RETURN_SPEED)
+        delta = target - s.opp_y
+        step_y = jnp.where(
+            jnp.abs(delta) <= self.OPP_DEADZONE,
+            0.0,
+            jnp.clip(delta, -speed, speed),
+        )
+        opp_y = jnp.clip(
+            s.opp_y + step_y, self.PADDLE_HALF, self.H - 1 - self.PADDLE_HALF
+        )
+
+        # integrate the ball
+        x0 = s.ball_x
+        bx = s.ball_x + s.vel_x
+        by = s.ball_y + s.vel_y
+        vx, vy = s.vel_x, s.vel_y
+        # wall bounce (top/bottom)
+        by = jnp.where(by < 0.0, -by, by)
+        vy = jnp.where(s.ball_y + s.vel_y < 0.0, -vy, vy)
+        hi = jnp.float32(self.H - 1)
+        over = by > hi
+        by = jnp.where(over, 2.0 * hi - by, by)
+        vy = jnp.where(over, -vy, vy)
+
+        def paddle_bounce(crossed, plane, paddle_y, bx, vx, vy):
+            hit = crossed & (
+                jnp.abs(by - paddle_y) <= self.PADDLE_HALF + 1.0
+            )
+            new_vx = -jnp.sign(vx) * jnp.minimum(
+                jnp.abs(vx) * 1.05, self.BALL_VX_MAX
+            )
+            # contact offset sets the outgoing angle (spin)
+            new_vy = (
+                (by - paddle_y) / self.PADDLE_HALF * self.BALL_VY_MAX
+            )
+            bx = jnp.where(hit, 2.0 * plane - bx, bx)
+            vx = jnp.where(hit, new_vx, vx)
+            vy = jnp.where(hit, new_vy, vy)
+            return bx, vx, vy
+
+        crossed_agent = (x0 < self.AGENT_PLANE) & (bx >= self.AGENT_PLANE)
+        bx, vx, vy = paddle_bounce(
+            crossed_agent, jnp.float32(self.AGENT_PLANE), agent_y, bx, vx, vy
+        )
+        crossed_opp = (x0 > self.OPP_PLANE) & (bx <= self.OPP_PLANE)
+        bx, vx, vy = paddle_bounce(
+            crossed_opp, jnp.float32(self.OPP_PLANE), opp_y, bx, vx, vy
+        )
+
+        # points: ball reached a back wall (missed at the plane crossing)
+        agent_point = bx <= 0.0
+        opp_point = bx >= jnp.float32(self.W - 1)
+        reward = (
+            agent_point.astype(jnp.float32) - opp_point.astype(jnp.float32)
+        )
+        agent_score = s.agent_score + agent_point.astype(jnp.int32)
+        opp_score = s.opp_score + opp_point.astype(jnp.int32)
+
+        # re-serve after a point, toward the scorer (the loser receives)
+        scored = agent_point | opp_point
+        sx, sy, svx, svy = self._serve(
+            key, jnp.where(agent_point, jnp.float32(-1.0), jnp.float32(1.0))
+        )
+        prev_bx = jnp.where(scored, sx, s.ball_x)
+        prev_by = jnp.where(scored, sy, s.ball_y)
+        bx = jnp.where(scored, sx, bx)
+        by = jnp.where(scored, sy, by)
+        vx = jnp.where(scored, svx, vx)
+        vy = jnp.where(scored, svy, vy)
+
+        state = PongState(
+            ball_x=bx, ball_y=by, vel_x=vx, vel_y=vy,
+            prev_bx=prev_bx, prev_by=prev_by,
+            agent_y=agent_y, opp_y=opp_y,
+            agent_score=agent_score, opp_score=opp_score,
+        )
+        terminated = (agent_score >= self.WIN_SCORE) | (
+            opp_score >= self.WIN_SCORE
+        )
+        return state, self._render(state), reward, terminated, {}
