@@ -28,6 +28,12 @@ def _enable_compile_cache():
 
 
 def main():
+    # register the host CPU backend next to the accelerator platform
+    # BEFORE backends initialize: host-env rollouts run policy inference
+    # host-side when the accelerator is remote (common/host_inference.py)
+    from rl_games_tpu.common.host_inference import ensure_cpu_platform
+
+    ensure_cpu_platform()
     _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=0, help="random seed override")

@@ -209,6 +209,9 @@ class PPOAgent:
         self.normalize_value = config.get("normalize_value", False)
         self.freeze_critic = config.get("freeze_critic", False)
         self.value_bootstrap = config.get("value_bootstrap", True)
+        # host-rollout inference placement (common/host_inference.py):
+        # auto = host CPU backend when the accelerator is remote
+        self.host_inference = config.get("host_inference_device", "auto")
         self.use_smooth_clamp = config.get("use_smooth_clamp", False)
         self.use_diagnostics = config.get("use_diagnostics", False)
         # soft augmentation: KL-consistency aux loss on transformed obs
@@ -1336,6 +1339,15 @@ class PPOAgent:
             res["env_actions"] = self._env_actions(res["actions"])
             return res
 
+        from rl_games_tpu.common.host_inference import resolve_rollout_device
+
+        self._rollout_dev = resolve_rollout_device(self.host_inference)
+        if self._rollout_dev is not None:
+            print(
+                f"host rollout inference on {self._rollout_dev} "
+                f"(host_inference_device={self.host_inference}); "
+                "update epoch stays on the default backend"
+            )
         return jax.jit(policy_step), jax.jit(
             functools.partial(self._finish_epoch, update_meters=True),
             static_argnames=(),
@@ -1347,92 +1359,118 @@ class PPOAgent:
             self._host_fns = self._make_host_fns()
         policy_step, finish = self._host_fns
 
+        from rl_games_tpu.common.host_inference import device_ctx
         from rl_games_tpu.common.obs_utils import to_device_obs
 
-        obs = state.obs
-        dones = jnp.asarray(state.dones)
-        rnn_states = state.rnn_states
-        cv_rnn_states = state.cv_rnn_states
-        rng = state.rng
+        dev = self._rollout_dev
+        if dev is not None:
+            # split placement (common/host_inference.py): ONE
+            # accelerator→host round trip per epoch (params + carried
+            # state sync to the CPU backend) instead of two per env step
+            (params, norm, cv_params, cv_norm, obs, dones, rnn_states,
+             cv_rnn_states, rng) = jax.device_put(
+                (state.params, state.norm, state.cv_params, state.cv_norm,
+                 state.obs, jnp.asarray(state.dones), state.rnn_states,
+                 state.cv_rnn_states, state.rng), dev)
+        else:
+            params, norm = state.params, state.norm
+            cv_params, cv_norm = state.cv_params, state.cv_norm
+            obs = state.obs
+            dones = jnp.asarray(state.dones)
+            rnn_states = state.rnn_states
+            cv_rnn_states = state.cv_rnn_states
+            rng = state.rng
         traj_steps = []
         snapshots = []
         cv_snapshots = []
         step_time = 0.0  # pure env-step time (a2c_common.py:806-810)
         t_play0 = time.perf_counter()
-        for t in range(self.horizon_length):
-            if self.any_rnn and t % self.seq_length == 0:
-                snapshots.append(rnn_states)
-                cv_snapshots.append(cv_rnn_states)
-            rng, akey = jax.random.split(rng)
-            masks = None
-            if self.use_action_masks:
-                # get_masked_action_values over the host boundary
-                # (a2c_discrete.py:92-114; RayWorker.get_action_mask)
-                masks = jnp.asarray(self.vec_env.get_action_masks())
-            res = policy_step(
-                state.params, state.norm, state.cv_params, state.cv_norm,
-                akey, obs, dones, rnn_states, cv_rnn_states, masks,
-            )
-            actions_np = np.asarray(res["env_actions"])
-            t0 = time.perf_counter()
-            next_obs, rewards, new_dones, infos = self.vec_env.step(actions_np)
-            step_time += time.perf_counter() - t0
-            if self._observer is not None:
-                # per-step observer hooks fire where infos are host-visible
-                # (algo_observer.py:6-26; a2c_common play_steps)
-                self._observer.process_infos(
-                    infos, np.nonzero(np.asarray(new_dones))[0]
+        with device_ctx(dev):
+            for t in range(self.horizon_length):
+                if self.any_rnn and t % self.seq_length == 0:
+                    snapshots.append(rnn_states)
+                    cv_snapshots.append(cv_rnn_states)
+                rng, akey = jax.random.split(rng)
+                masks = None
+                if self.use_action_masks:
+                    # get_masked_action_values over the host boundary
+                    # (a2c_discrete.py:92-114; RayWorker.get_action_mask)
+                    masks = jnp.asarray(self.vec_env.get_action_masks())
+                res = policy_step(
+                    params, norm, cv_params, cv_norm,
+                    akey, obs, dones, rnn_states, cv_rnn_states, masks,
                 )
-                self._observer.after_steps()
-            rewards = np.asarray(rewards, np.float32)
-            if rewards.ndim == 1:
-                rewards = rewards[:, None]
-            values = res["values"]
-            shaped = np.asarray(self.rewards_shaper(jnp.asarray(rewards)))
-            if self.value_bootstrap and "time_outs" in infos:
-                shaped = shaped + self.gamma * np.asarray(values) * np.asarray(
-                    infos["time_outs"], np.float32
-                )[:, None]
-            step_out = {
-                "obses": obs,
-                "dones": dones,
-                "actions": res["actions"],
-                "values": values,
-                "neglogpacs": res["neglogpacs"],
-                "rewards": jnp.asarray(shaped),
-                "env_rewards": jnp.asarray(rewards),
-            }
-            if self.is_continuous:
-                step_out["mus"] = res["mus"]
-                step_out["sigmas"] = res["sigmas"]
-            if self.has_central_value:
-                step_out["states"] = obs["states"]
-            if self.use_action_masks:
-                step_out["action_masks"] = masks
-            traj_steps.append(step_out)
-            obs = to_device_obs(next_obs)
-            dones = jnp.asarray(new_dones, jnp.float32)
-            if self.is_rnn:
-                rnn_states = res["rnn_states"]
-            if self.cv_is_rnn:
-                cv_rnn_states = res["cv_rnn_states"]
+                actions_np = np.asarray(res["env_actions"])
+                t0 = time.perf_counter()
+                next_obs, rewards, new_dones, infos = self.vec_env.step(
+                    actions_np
+                )
+                step_time += time.perf_counter() - t0
+                if self._observer is not None:
+                    # per-step observer hooks fire where infos are
+                    # host-visible (algo_observer.py:6-26; a2c_common
+                    # play_steps)
+                    self._observer.process_infos(
+                        infos, np.nonzero(np.asarray(new_dones))[0]
+                    )
+                    self._observer.after_steps()
+                rewards = np.asarray(rewards, np.float32)
+                if rewards.ndim == 1:
+                    rewards = rewards[:, None]
+                values = res["values"]
+                shaped = np.asarray(self.rewards_shaper(jnp.asarray(rewards)))
+                if self.value_bootstrap and "time_outs" in infos:
+                    shaped = shaped + self.gamma * np.asarray(values) * (
+                        np.asarray(infos["time_outs"], np.float32)[:, None]
+                    )
+                step_out = {
+                    "obses": obs,
+                    "dones": dones,
+                    "actions": res["actions"],
+                    "values": values,
+                    "neglogpacs": res["neglogpacs"],
+                    "rewards": jnp.asarray(shaped),
+                    "env_rewards": jnp.asarray(rewards),
+                }
+                if self.is_continuous:
+                    step_out["mus"] = res["mus"]
+                    step_out["sigmas"] = res["sigmas"]
+                if self.has_central_value:
+                    step_out["states"] = obs["states"]
+                if self.use_action_masks:
+                    step_out["action_masks"] = masks
+                traj_steps.append(step_out)
+                obs = to_device_obs(next_obs)
+                dones = jnp.asarray(new_dones, jnp.float32)
+                if self.is_rnn:
+                    rnn_states = res["rnn_states"]
+                if self.cv_is_rnn:
+                    cv_rnn_states = res["cv_rnn_states"]
 
-        rng, vkey = jax.random.split(rng)
-        last = policy_step(
-            state.params, state.norm, state.cv_params, state.cv_norm,
-            vkey, obs, dones, rnn_states, cv_rnn_states,
-        )
-        last_values = last["values"]
-
-        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *traj_steps)
-        rnn_snapshots = None
-        if self.any_rnn:
-            rnn_snapshots = (
-                jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots)
-                if self.is_rnn else None,
-                jax.tree.map(lambda *xs: jnp.stack(xs), *cv_snapshots)
-                if self.cv_is_rnn else None,
+            rng, vkey = jax.random.split(rng)
+            last = policy_step(
+                params, norm, cv_params, cv_norm,
+                vkey, obs, dones, rnn_states, cv_rnn_states,
             )
+            last_values = last["values"]
+
+            traj = jax.tree.map(lambda *xs: jnp.stack(xs), *traj_steps)
+            rnn_snapshots = None
+            if self.any_rnn:
+                rnn_snapshots = (
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *snapshots)
+                    if self.is_rnn else None,
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *cv_snapshots)
+                    if self.cv_is_rnn else None,
+                )
+
+        if dev is not None:
+            # ONE host→accelerator transfer: rollout products + carried
+            # state rejoin the compiled update epoch's device
+            (traj, last_values, rnn_snapshots, obs, dones, rnn_states,
+             cv_rnn_states, rng) = jax.device_put(
+                (traj, last_values, rnn_snapshots, obs, dones, rnn_states,
+                 cv_rnn_states, rng), jax.devices()[0])
 
         state = state.replace(
             obs=obs, dones=dones, rng=rng, rnn_states=rnn_states,

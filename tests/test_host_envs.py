@@ -68,6 +68,117 @@ def test_ppo_host_path_learns_cartpole():
     assert int(m["frame"]) == 60 * 8 * 32
 
 
+def test_threaded_vecenv_matches_sync():
+    """num_threads vectorization (in-process thread pool, the envpool
+    role) is semantics-identical to SyncVectorEnv same_step: same
+    per-env seeding, reset-on-done rows, final_observation, time_outs."""
+    sync = GymnasiumVecEnv("CartPole-v1", 4, seed=11)
+    thr = GymnasiumVecEnv("CartPole-v1", 4, seed=11, num_threads=3)
+    o_s, o_t = sync.reset(), thr.reset()
+    np.testing.assert_array_equal(o_s, o_t)
+    rng = np.random.default_rng(0)
+    saw_done = False
+    for _ in range(80):
+        a = rng.integers(0, 2, size=4)
+        obs_s, r_s, d_s, i_s = sync.step(a)
+        obs_t, r_t, d_t, i_t = thr.step(a)
+        np.testing.assert_array_equal(obs_s, obs_t)
+        np.testing.assert_array_equal(r_s, r_t)
+        np.testing.assert_array_equal(d_s, d_t)
+        np.testing.assert_array_equal(i_s["time_outs"], i_t["time_outs"])
+        if d_s.any():
+            saw_done = True
+            np.testing.assert_array_equal(
+                i_s["final_observation"], i_t["final_observation"]
+            )
+    assert saw_done
+    sync.close()
+    thr.close()
+
+
+def test_threaded_vecenv_rejects_bad_combos():
+    with pytest.raises(ValueError):
+        GymnasiumVecEnv("CartPole-v1", 2, num_threads=2, use_async=True)
+    with pytest.raises(ValueError):
+        GymnasiumVecEnv(
+            "CartPole-v1", 2, num_threads=2, autoreset_mode="next_step"
+        )
+
+
+def test_ppo_host_inference_device_cpu_matches_default():
+    """host_inference_device: cpu relocates rollout inference to the host
+    CPU backend (params sync once per epoch, one transfer back,
+    common/host_inference.py); on the same backend the split-placement
+    path must be bit-identical to all-default-device dispatch."""
+    def make_params(pref):
+        return {
+            "algo": {"name": "a2c_discrete"},
+            "model": {"name": "discrete_a2c"},
+            "network": {
+                "name": "actor_critic", "separate": False,
+                "mlp": {"units": [32], "activation": "elu",
+                        "initializer": {"name": "default"}},
+                "space": {"discrete": {}},
+            },
+            "config": {
+                "env_name": "CartPole-v1", "vecenv_type": "GYMNASIUM",
+                "num_actors": 4, "horizon_length": 16,
+                "minibatch_size": 32, "mini_epochs": 2,
+                "learning_rate": 3e-4, "e_clip": 0.2, "clip_value": True,
+                "gamma": 0.99,
+                "tau": 0.95, "critic_coef": 1.0, "entropy_coef": 0.01,
+                "grad_norm": 1.0, "truncate_grads": True,
+                "normalize_advantage": True,
+                "normalize_input": True, "normalize_value": True,
+                "value_bootstrap": True, "seed": 3,
+                "env_config": {"seed": 3},
+                "host_inference_device": pref,
+            },
+        }
+
+    def run(pref):
+        agent = PPOAgent("t", make_params(pref))
+        state = agent.init_state()
+        fn = agent.make_train_fn()
+        m = None
+        for _ in range(3):
+            state, m = fn(state)
+        return m
+
+    m_cpu = run("cpu")
+    m_def = run("default")
+    for k in ("mean_rewards", "a_loss", "c_loss", "entropy", "kl"):
+        np.testing.assert_array_equal(
+            np.asarray(m_cpu[k]), np.asarray(m_def[k]), err_msg=k
+        )
+
+
+def test_host_player_inference_device_cpu():
+    """The host eval loop under forced host-CPU inference still plays
+    (params relocate via _move_host_params before the first act)."""
+    from rl_games_tpu.common.player import PpoPlayer
+
+    params = {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+        "config": {
+            "env_name": "CartPole-v1", "vecenv_type": "GYMNASIUM",
+            "num_actors": 2, "host_inference_device": "cpu",
+            "seed": 5, "env_config": {"seed": 5},
+            "player": {"games_num": 3, "deterministic": True},
+        },
+    }
+    p = PpoPlayer(params)
+    reward = p.run(games_num=3)
+    assert reward > 0.0
+
+
 def test_gymnasium_same_step_resets_on_done():
     """Default autoreset is same_step: the obs returned on a done row is the
     NEW episode's reset obs, the true final obs travels in infos

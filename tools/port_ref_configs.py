@@ -203,6 +203,11 @@ def port_one(src, kind):
             cfg["env_name"] = gym_id
         cfg["env_name"] = GYM_ID_MAP.get(cfg["env_name"], cfg["env_name"])
         cfg["vecenv_type"] = "GYMNASIUM"
+        # the reference's envpool backend is a C++ THREAD-POOL stepper
+        # (envs/envpool.py): map it to the bridge's in-process threaded
+        # vectorization (num_threads -1 = one thread per host core)
+        if env_name == "envpool":
+            env_cfg["num_threads"] = -1
         # envpool-only env kwargs: use_contact_force maps to gymnasium's
         # include_cfrc_ext_in_observation (the published SAC Ant band
         # depends on it — reference sac_ant_envpool.yaml comment)
@@ -265,6 +270,9 @@ def port_one(src, kind):
         cfg["env_name"] = env_cfg.pop("env_name")
         cfg["vecenv_type"] = "DMCONTROL"
         env_cfg.pop("flatten_obs", None)
+        # the reference reaches dm_control through envpool's C++ thread
+        # pool too — same threaded-stepper mapping as the mujoco family
+        env_cfg["num_threads"] = -1
     elif kind == "connect4":
         # env module is out-of-tree in the reference; binds to the
         # pettingzoo connect_four_v3 self-play adapter here. config_path
