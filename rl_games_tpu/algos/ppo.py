@@ -1496,6 +1496,17 @@ class PPOAgent:
         """
         donate_args = (0,) if donate else ()
         if self.is_host_env:
+            if mesh is not None:
+                import warnings
+
+                warnings.warn(
+                    "make_train_fn(mesh=...) with a host-stepped env: the "
+                    "mesh is ignored — host envs run the single-process "
+                    "split-placement path. Shard across processes with "
+                    "jax.distributed + one env pool per process instead.",
+                    UserWarning,
+                    stacklevel=2,
+                )
             return self.host_train_epoch
         if mesh is None:
             # fresh lambda per call: bound methods hash equal across

@@ -55,7 +55,21 @@ class PongState:
 
 
 class DevicePong(JaxEnv):
-    """First-to-21 Pong on an 84x84x1 float image rendered on device."""
+    """First-to-21 Pong on an 84x84x1 float image rendered on device.
+
+    ``frame_skip`` repeats the chosen action for N physics substeps and
+    accumulates the reward, like the reference's Atari MaxAndSkipEnv
+    (wrappers.py skip=4, configs/atari/*.yaml env_config) — one policy
+    decision per N frames shortens a rally's decision horizon toward
+    ALE-like length. The default is 2 (not ALE's 4): this game's paddle
+    moves PADDLE_SPEED px per physics frame, so skip 4 would quantize
+    paddle positioning to 8 px — as coarse as the whole paddle — and
+    measurably cripples precise edge-aim play (the scripted edge-aim
+    probe in tests/test_pong.py drops from ~6 pts/kframe at skip 2 to
+    ~0.5 at skip 4). A point takes >=23 physics steps, so at most one
+    point lands inside a skip block and the per-decision reward stays
+    in {-1, 0, +1}.
+    """
 
     H = 84
     W = 84
@@ -71,9 +85,14 @@ class DevicePong(JaxEnv):
     BALL_VY_MAX = 3.0       # edge-hit outgoing vertical speed
     WIN_SCORE = 21
 
-    # a 21-0 rout takes ~1.5k steps; mutual long rallies bound well under
-    # this (ALE Pong episodes run ~3k frames at frameskip 4 too)
-    max_episode_steps = 8192
+    # a 21-0 rout takes ~1.5k physics frames; mutual long rallies bound
+    # well under this (ALE Pong episodes run ~3k frames at frameskip 4
+    # too). Expressed in DECISIONS: 8192 physics frames / frame_skip.
+    max_episode_steps = 4096
+
+    def __init__(self, frame_skip: int = 2):
+        self.frame_skip = int(frame_skip)
+        self.max_episode_steps = 8192 // self.frame_skip
 
     def env_info(self):
         return EnvInfo(
@@ -137,6 +156,19 @@ class DevicePong(JaxEnv):
 
     # -- dynamics ------------------------------------------------------------
     def step(self, s: PongState, action, key):
+        """One decision = ``frame_skip`` physics substeps (MaxAndSkipEnv
+        semantics): rewards accumulate, termination latches. A fresh PRNG
+        key per substep keeps re-serves independent."""
+        keys = jax.random.split(key, self.frame_skip)
+        reward = jnp.float32(0.0)
+        terminated = jnp.bool_(False)
+        for i in range(self.frame_skip):
+            s, r, t = self._substep(s, action, keys[i])
+            reward = reward + r
+            terminated = terminated | t
+        return s, self._render(s), reward, terminated, {}
+
+    def _substep(self, s: PongState, action, key):
         move = (jnp.asarray(action, jnp.int32) - 1).astype(jnp.float32)
         agent_y = jnp.clip(
             s.agent_y + move * self.PADDLE_SPEED,
@@ -225,4 +257,4 @@ class DevicePong(JaxEnv):
         terminated = (agent_score >= self.WIN_SCORE) | (
             opp_score >= self.WIN_SCORE
         )
-        return state, self._render(state), reward, terminated, {}
+        return state, reward, terminated

@@ -181,6 +181,21 @@ register(
     {"vecenv_type": "JAX", "env_creator": _create_pixel_catcher},
 )
 
+
+def _create_device_pong(**kwargs):
+    from rl_games_tpu.envs.jax.pong import DevicePong
+
+    return DevicePong(**kwargs)
+
+
+# the Atari-Pong-class benchmark env (envs/jax/pong.py): first-to-21
+# scoring on an 84x84 on-device frame — the headline row analog of the
+# reference's envpool Pong-v5 (docs/ENVPOOL.md:65)
+register(
+    "DevicePong-v0",
+    {"vecenv_type": "JAX", "env_creator": _create_device_pong},
+)
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---

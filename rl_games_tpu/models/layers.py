@@ -149,12 +149,12 @@ class MLP(nn.Module):
                 if self.norm_only_first_layer and self.norm_func_name is not None:
                     need_norm = False
                 if self.norm_func_name == "layer_norm":
-                    x = nn.LayerNorm()(x)
+                    x = nn.LayerNorm(epsilon=1e-5)(x)
                 elif self.norm_func_name == "batch_norm":
                     # stateless batch-norm stand-in: layer norm semantics are
                     # the jit-friendly choice; reference batch_norm is unused
                     # by the shipped configs
-                    x = nn.LayerNorm()(x)
+                    x = nn.LayerNorm(epsilon=1e-5)(x)
         return x
 
 
@@ -177,7 +177,7 @@ class D2RLMLP(nn.Module):
 
         def norm(y):
             if self.norm_func_name in ("layer_norm", "batch_norm"):
-                return nn.LayerNorm()(y)
+                return nn.LayerNorm(epsilon=1e-5)(y)
             return y
 
         x = make_dense(self.units[0], self.initializer)(inp)
@@ -357,7 +357,7 @@ class CNN(nn.Module):
             )(x)
             x = act(x)
             if self.norm_func_name in ("layer_norm", "batch_norm"):
-                x = nn.LayerNorm()(x)
+                x = nn.LayerNorm(epsilon=1e-5)(x)
         if self.ctype == "conv2d_spatial_softargmax":
             x = SpatialSoftArgmax(normalize=True)(x)
         return x

@@ -185,7 +185,7 @@ class A2CNetwork(nn.Module):
             out, new_states = core(x_seq, states, d_seq)
             out = out.reshape(batch, -1)
             if rnn_ln:
-                out = nn.LayerNorm(name=core_name + "_ln")(out)
+                out = nn.LayerNorm(epsilon=1e-5, name=core_name + "_ln")(out)
             if rnn_concat_output:
                 out = jnp.concatenate([out, cnn_out], axis=-1)
             return out, new_states

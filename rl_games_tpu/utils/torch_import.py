@@ -22,10 +22,23 @@ logits, and the RunningMeanStd input/value normalizers
   the spatial dims are recomputed from the conv arithmetic to build the
   permutation;
 * ``torch.compile``'s ``_orig_mod.`` prefixes are stripped, like the
-  reference's own checkpoint loader does (torch_ext.py load_checkpoint).
+  reference's own checkpoint loader does (torch_ext.py load_checkpoint);
+* LSTM/GRU cores (LSTMWithDones/GRUWithDones wrapping torch.nn.LSTM/GRU,
+  common/layers/recurrent.py:77-86): torch packs gates row-blocked in
+  ``weight_ih_l{k}``/``weight_hh_l{k}`` (LSTM order i,f,g,o; GRU r,z,n)
+  and ADDS ``bias_ih + bias_hh``, while flax cells hold one Dense per
+  gate — the blocks are split, transposed, and the two biases summed onto
+  the gate Dense that carries bias (flax puts it on the hidden-side Dense
+  for LSTM; for GRU's n gate both biases stay separate, matching torch's
+  ``W_in x + b_in + r*(W_hn h + b_hn)`` form exactly);
+* dict observations: the reference's RunningMeanStdObs ModuleDict
+  (running_mean_std.py:117-128, keys
+  ``running_mean_std.running_mean_std.<obs_key>.*``) maps onto our
+  per-key dict of RunningMeanStd states.
 
-Not covered (clear errors): RNN cores, d2rl concat torsos, impala towers,
-dict-observation normalizers, SAC checkpoints.
+SAC checkpoints convert through ``convert_sac_weights`` below. Not covered
+(clear errors): d2rl concat torsos, impala towers, normalized torsos, and
+rnn concat_input/concat_output wirings.
 """
 
 from typing import Any, Dict, Tuple
@@ -121,18 +134,12 @@ class _TorchSide:
 
 
 def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
-    for k in sd:
-        lk = k.lower()
-        if any(t in lk for t in ("rnn", "lstm", "gru")):
-            raise NotImplementedError(
-                "torch-checkpoint import does not cover RNN cores "
-                f"(found '{k}')"
-            )
-        if "running_mean_std.running_mean_std" in k:
-            raise NotImplementedError(
-                "dict-observation normalizers are not covered by the "
-                "torch-checkpoint importer"
-            )
+    rnn_cfg = network_cfg.get("rnn") or {}
+    if rnn_cfg.get("concat_input") or rnn_cfg.get("concat_output"):
+        raise NotImplementedError(
+            "rnn concat_input/concat_output wirings are not covered by "
+            "the torch-checkpoint importer"
+        )
     if network_cfg.get("mlp", {}).get("d2rl"):
         raise NotImplementedError(
             "d2rl torsos are not covered by the torch-checkpoint importer"
@@ -195,6 +202,9 @@ def convert_a2c_state_dict(
     if convs:
         h, w = int(input_shape[0]), int(input_shape[1])
         flat_hw = _conv_out_hw(h, w, convs) + (int(convs[-1]["filters"]),)
+    rnn_before_mlp = bool(
+        (network_cfg.get("rnn") or {}).get("before_mlp", False)
+    )
 
     def fill_mlp(name: str):
         if name not in body:
@@ -211,7 +221,8 @@ def convert_a2c_state_dict(
         for i, (dn, (wt, bs)) in enumerate(zip(dense_names, layers)):
             # the first Linear after a conv stack consumes flattened
             # activations -> needs the NCHW->NHWC column permutation
-            cnn_feeds = flat_hw is not None and i == 0
+            # (with rnn before_mlp the RNN, not the mlp, eats the flatten)
+            cnn_feeds = flat_hw is not None and i == 0 and not rnn_before_mlp
             if cnn_feeds:
                 kern = _nchw_to_nhwc_columns(wt, *flat_hw)
             else:
@@ -235,16 +246,91 @@ def convert_a2c_state_dict(
             _assign(body, (name, cn, "kernel"), wt.transpose(2, 3, 1, 0))
             _assign(body, (name, cn, "bias"), bs)
 
+    def fill_rnn(core_name: str, torch_mod: str):
+        """torch nn.LSTM/GRU row-blocked gate tensors → flax per-gate
+        Denses inside our scanned RNNCore (models/layers.py RNNCore: params
+        at <core>/stack/<lstm|gru>_<layer>/<gate-dense>).
+
+        torch LSTM gate row order: i, f, g, o; both biases are ADDED in
+        the cell, and flax's OptimizedLSTMCell carries bias only on the
+        hidden-side Dense → sum them there. torch GRU order: r, z, n; for
+        r/z the biases add (flax GRUCell biases the input-side Dense); the
+        n gate keeps them separate (b_in on 'in', b_hn on 'hn'), exactly
+        torch's n = tanh(W_in x + b_in + r*(W_hn h + b_hn))."""
+        if core_name not in body:
+            return
+        stack = body[core_name]["stack"]
+        kind = "lstm" if any(k.startswith("lstm_") for k in stack) else "gru"
+        for layer in range(len(stack)):
+            cell = (core_name, "stack", f"{kind}_{layer}")
+            wih = src.take(f"{torch_mod}.weight_ih_l{layer}")
+            whh = src.take(f"{torch_mod}.weight_hh_l{layer}")
+            bih = src.take(f"{torch_mod}.bias_ih_l{layer}")
+            bhh = src.take(f"{torch_mod}.bias_hh_l{layer}")
+            hidden = whh.shape[1]
+
+            def chunk(t, gi):
+                return t[gi * hidden:(gi + 1) * hidden]
+
+            def in_kernel(w_x):
+                # layer 0 of a before_mlp rnn eats the conv flatten →
+                # NCHW->NHWC column permutation, like the mlp case
+                if layer == 0 and rnn_before_mlp and flat_hw is not None:
+                    return _nchw_to_nhwc_columns(w_x, *flat_hw)
+                return w_x.T
+
+            if kind == "lstm":
+                for gi, g in enumerate("ifgo"):
+                    _assign(body, cell + (f"i{g}", "kernel"),
+                            in_kernel(chunk(wih, gi)))
+                    _assign(body, cell + (f"h{g}", "kernel"),
+                            chunk(whh, gi).T)
+                    _assign(body, cell + (f"h{g}", "bias"),
+                            chunk(bih, gi) + chunk(bhh, gi))
+            else:
+                for gi, g in enumerate("rzn"):
+                    _assign(body, cell + (f"i{g}", "kernel"),
+                            in_kernel(chunk(wih, gi)))
+                    _assign(body, cell + (f"h{g}", "kernel"),
+                            chunk(whh, gi).T)
+                    if g == "n":
+                        _assign(body, cell + ("in", "bias"), chunk(bih, gi))
+                        _assign(body, cell + ("hn", "bias"), chunk(bhh, gi))
+                    else:
+                        _assign(body, cell + (f"i{g}", "bias"),
+                                chunk(bih, gi) + chunk(bhh, gi))
+
+    def fill_rnn_ln(ln_name: str, torch_mod: str):
+        """rnn_ln LayerNorm (network_builder.py:274-280): torch
+        weight/bias → flax scale/bias."""
+        if ln_name not in body:
+            return
+        _assign(body, (ln_name, "scale"), src.take(f"{torch_mod}.weight"))
+        _assign(body, (ln_name, "bias"), src.take(f"{torch_mod}.bias"))
+
     fill_cnn("actor_cnn")
     fill_cnn("critic_cnn")
     fill_mlp("actor_mlp")
     fill_mlp("critic_mlp")
+    # shared nets name the core 'rnn'; separate trunks 'a_rnn'/'c_rnn'
+    # (network_builder.py:272-280)
+    if "actor_rnn" in body:
+        shared = "a2c_network.rnn.rnn.weight_ih_l0" in src.sd
+        fill_rnn("actor_rnn",
+                 "a2c_network.rnn.rnn" if shared else "a2c_network.a_rnn.rnn")
+        fill_rnn_ln(
+            "actor_rnn_ln",
+            "a2c_network.layer_norm" if shared
+            else "a2c_network.a_layer_norm",
+        )
+    fill_rnn("critic_rnn", "a2c_network.c_rnn.rnn")
+    fill_rnn_ln("critic_rnn_ln", "a2c_network.c_layer_norm")
 
     # the NCHW->NHWC flatten permutation lands on the first Linear AFTER
     # the conv stack; with no mlp that Linear is a distribution/value head
     # below, which this importer does not permute — refuse rather than
     # silently mis-load (no reference config pairs a cnn with an empty mlp)
-    if flat_hw is not None and (
+    if flat_hw is not None and not rnn_before_mlp and (
         "actor_mlp" not in body
         or ("critic_cnn" in body and "critic_mlp" not in body)
     ):
@@ -328,7 +414,16 @@ def convert_a2c_state_dict(
                 ),
             )
 
-        if getattr(norm, "obs", None) is not None and (
+        if isinstance(getattr(norm, "obs", None), dict) and any(
+            k.startswith("running_mean_std.running_mean_std.") for k in sd
+        ):
+            # dict observations: RunningMeanStdObs ModuleDict
+            # (running_mean_std.py:117-128) — one RMS per obs key
+            new_norm = new_norm.replace(obs={
+                k: rms_from(f"running_mean_std.running_mean_std.{k}", v)
+                for k, v in norm.obs.items()
+            })
+        elif getattr(norm, "obs", None) is not None and (
             "running_mean_std.running_mean" in sd
         ):
             new_norm = new_norm.replace(

@@ -689,3 +689,42 @@ def test_ppo_player_masked_connect4():
     assert player.is_host_env and player.use_action_masks
     reward = player.run()
     assert -1.0 <= reward <= 1.0
+
+
+def test_host_env_mesh_warns_and_is_ignored():
+    """make_train_fn(mesh=...) on a host-stepped env: the mesh cannot apply
+    (host envs run the single-process split-placement path) — the user is
+    warned instead of silently getting a no-op (algos/ppo.py make_train_fn)."""
+    import warnings
+
+    from rl_games_tpu.parallel.mesh import create_mesh
+
+    params = {
+        "algo": {"name": "a2c_discrete"},
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+        "config": {
+            "env_name": "CartPole-v1", "vecenv_type": "GYMNASIUM",
+            "num_actors": 4, "horizon_length": 8, "minibatch_size": 32,
+            "mini_epochs": 1, "learning_rate": 3e-4, "e_clip": 0.2,
+            "clip_value": True, "gamma": 0.99, "tau": 0.95,
+            "critic_coef": 1.0, "entropy_coef": 0.0, "grad_norm": 1.0,
+            "truncate_grads": True, "normalize_advantage": True,
+            "normalize_input": False, "normalize_value": False,
+            "value_bootstrap": False, "seed": 3, "env_config": {"seed": 3},
+        },
+    }
+    agent = PPOAgent("t_mesh_warn", params)
+    assert agent.is_host_env
+    mesh = create_mesh()
+    with pytest.warns(UserWarning, match="mesh is ignored"):
+        fn = agent.make_train_fn(mesh=mesh)
+    assert fn == agent.host_train_epoch
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning without a mesh
+        agent.make_train_fn()

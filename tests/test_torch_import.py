@@ -397,9 +397,12 @@ def test_import_rejects_unknown_and_mismatched():
     with pytest.raises(ValueError, match="no destination"):
         convert_a2c_state_dict(sd, net_params, norm, cfg["network"], (8,))
 
+    # an RNN tensor in the checkpoint while the target model has no RNN
+    # core: unconsumed → hard error (RNN checkpoints for RNN models DO
+    # import, test_import_lstm_* below)
     sd = flatten_state_dict(tm.state_dict())
-    sd["a2c_network.rnn.weight_ih_l0"] = np.zeros((4, 4), np.float32)
-    with pytest.raises(NotImplementedError, match="RNN"):
+    sd["a2c_network.rnn.rnn.weight_ih_l0"] = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="no destination"):
         convert_a2c_state_dict(sd, net_params, norm, cfg["network"], (8,))
 
 
@@ -448,3 +451,221 @@ def test_sac_import_rejects_dropped_obs_normalizer(tmp_path):
     cp = critic.init(jax.random.PRNGKey(0), obs0, act0)
     with pytest.raises(ValueError, match="normalize_input"):
         ti.convert_sac_weights(raw, ap, cp, None, None)
+
+
+# ----------------------------------------------------------------------
+# RNN cores (LSTMWithDones/GRUWithDones → scanned flax cells) and
+# dict-observation normalizers (RunningMeanStdObs → per-key RMS dict)
+# ----------------------------------------------------------------------
+
+def _rnn_parity_roll(tm, model, new_params, new_norm, obs_shape, n_act,
+                     kind, layers, units, steps=3, batch=4):
+    """Step both models `steps` times threading rnn states; outputs and
+    evolved states must agree at every step."""
+    t_states = tuple(
+        torch.zeros((layers, batch, units))
+        for _ in range(2 if kind == "lstm" else 1)
+    )
+    j_states = tuple(
+        jnp.zeros((layers, batch, units), jnp.float32)
+        for _ in range(2 if kind == "lstm" else 1)
+    )
+    rng = np.random.default_rng(17)
+    tm.eval()
+    for step in range(steps):
+        obs = rng.normal(size=(batch,) + tuple(obs_shape)).astype(np.float32)
+        with torch.no_grad():
+            tres = tm({
+                "is_train": False, "prev_actions": None,
+                "obs": torch.tensor(obs), "rnn_states": t_states,
+                "seq_length": 1,
+            })
+        ours = model.forward_play(
+            new_params, new_norm, jax.random.PRNGKey(step),
+            jnp.asarray(obs), rnn_states=j_states, deterministic=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["mus"]), tres["mus"].numpy(), atol=2e-5,
+            err_msg=f"mus diverge at step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["values"]), tres["values"].numpy(), atol=2e-5,
+            err_msg=f"values diverge at step {step}",
+        )
+        t_states = tres["rnn_states"]
+        j_states = ours["rnn_states"]
+        for ts, js in zip(t_states, j_states):
+            np.testing.assert_allclose(
+                np.asarray(js), ts.numpy(), atol=2e-5,
+                err_msg=f"rnn states diverge at step {step}",
+            )
+
+
+def test_import_lstm_shared_two_layers_with_ln():
+    """Shared-trunk 2-layer LSTM with rnn layer_norm: torch's row-blocked
+    i,f,g,o gates + summed biases land on the flax per-gate Denses
+    (network_builder.py:272-280, recurrent.py:77-80)."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [24], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "lstm", "units": 16, "layers": 2,
+                    "layer_norm": True},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+    }
+    tm = _torch_model(cfg, 3, (6,), False, False, seed=21)
+    model, net_params, norm = _ours(cfg, 3, (6,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (6,),
+    )
+    _rnn_parity_roll(tm, model, new_params, new_norm, (6,), 3,
+                     "lstm", layers=2, units=16)
+
+
+def test_import_gru_before_mlp():
+    """GRU before the mlp: r,z,n gate split with torch's separate n-gate
+    biases preserved (flax GRUCell matches torch's n-gate form exactly)."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [24], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "gru", "units": 16, "layers": 1,
+                    "before_mlp": True},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+    }
+    tm = _torch_model(cfg, 2, (5,), False, False, seed=23)
+    model, net_params, norm = _ours(cfg, 2, (5,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (5,),
+    )
+    _rnn_parity_roll(tm, model, new_params, new_norm, (5,), 2,
+                     "gru", layers=1, units=16)
+
+
+def test_import_cnn_lstm_after_mlp():
+    """conv torso + mlp + lstm (the reference's atari-rnn shape,
+    configs/atari/ppo_pacman_torch_rnn.yaml): the NCHW→NHWC flatten
+    permutation stays on the mlp's first Linear, the lstm imports as-is."""
+    cfg = {
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "cnn": {"type": "conv2d", "activation": "relu",
+                    "initializer": {"name": "default"},
+                    "convs": [
+                        {"filters": 8, "kernel_size": 4, "strides": 2,
+                         "padding": 0},
+                        {"filters": 16, "kernel_size": 3, "strides": 1,
+                         "padding": 0}]},
+            "mlp": {"units": [32], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "lstm", "units": 16, "layers": 1},
+            "space": {"discrete": {}},
+        },
+    }
+    shape = (12, 12, 3)
+    tm = _torch_model(cfg, 4, shape, False, False, seed=29)
+    model, net_params, norm = _ours(cfg, 4, shape, False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], shape,
+    )
+    t_states = (torch.zeros((1, 3, 16)), torch.zeros((1, 3, 16)))
+    j_states = (jnp.zeros((1, 3, 16)), jnp.zeros((1, 3, 16)))
+    rng = np.random.default_rng(31)
+    tm.eval()
+    for step in range(3):
+        obs = rng.normal(size=(3,) + shape).astype(np.float32)
+        with torch.no_grad():
+            tres = tm({
+                "is_train": False, "prev_actions": None,
+                "obs": torch.tensor(obs), "rnn_states": t_states,
+                "seq_length": 1,
+            })
+        ours = model.forward_play(
+            new_params, new_norm, jax.random.PRNGKey(step),
+            jnp.asarray(obs), rnn_states=j_states, deterministic=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["logits"]),
+            torch.log_softmax(tres["logits"], dim=-1).numpy(), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-4
+        )
+        t_states, j_states = tres["rnn_states"], ours["rnn_states"]
+
+
+def test_import_dict_obs_normalizer():
+    """RunningMeanStdObs (running_mean_std.py:117-128) keys
+    ``running_mean_std.running_mean_std.<obs_key>.*`` map onto our per-key
+    RMS dict; normalized outputs match the reference module per key."""
+    from rl_games.algos_torch.running_mean_std import RunningMeanStdObs
+
+    from rl_games_tpu.models.models import NormState
+    from rl_games_tpu.ops.running_stats import rms_init, rms_normalize_obs
+
+    shapes = {"pos": (4,), "goal": (2,)}
+    tobs_mod = RunningMeanStdObs(shapes)
+    with torch.no_grad():
+        tobs_mod.running_mean_std["pos"].running_mean.copy_(
+            torch.arange(4, dtype=torch.float64) * 0.5
+        )
+        tobs_mod.running_mean_std["pos"].running_var.copy_(
+            torch.linspace(0.2, 2.0, 4, dtype=torch.float64)
+        )
+        tobs_mod.running_mean_std["pos"].count.fill_(50.0)
+        tobs_mod.running_mean_std["goal"].running_mean.copy_(
+            torch.tensor([1.0, -1.0], dtype=torch.float64)
+        )
+        tobs_mod.running_mean_std["goal"].running_var.copy_(
+            torch.tensor([4.0, 0.25], dtype=torch.float64)
+        )
+        tobs_mod.running_mean_std["goal"].count.fill_(50.0)
+
+    # network body: a plain mlp model (the normalizer section is what this
+    # test pins); the sd carries the net tensors + the ModuleDict stats
+    cfg = mlp_continuous_cfg()
+    tm = _torch_model(cfg, 2, (6,), False, False, seed=37)
+    sd = flatten_state_dict(tm.state_dict())
+    sd.update({
+        f"running_mean_std.{k}": v
+        for k, v in flatten_state_dict(tobs_mod.state_dict()).items()
+    })
+
+    model, net_params, _ = _ours(cfg, 2, (6,), False, False)
+    norm = NormState(obs={k: rms_init(s) for k, s in shapes.items()},
+                     value=None)
+    _, new_norm = convert_a2c_state_dict(
+        sd, net_params, norm, cfg["network"], (6,),
+    )
+
+    rng = np.random.default_rng(41)
+    obs = {k: rng.normal(size=(5,) + s).astype(np.float32)
+           for k, s in shapes.items()}
+    tobs_mod.eval()
+    with torch.no_grad():
+        tref = tobs_mod({k: torch.tensor(v) for k, v in obs.items()})
+    ours = rms_normalize_obs(
+        new_norm.obs, {k: jnp.asarray(v) for k, v in obs.items()}
+    )
+    for k in shapes:
+        np.testing.assert_allclose(
+            np.asarray(ours[k]), tref[k].numpy(), atol=1e-5, err_msg=k
+        )
