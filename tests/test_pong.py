@@ -25,21 +25,23 @@ CFG = os.path.join(
 def test_reset_and_render():
     env = DevicePong()
     state, obs = env.reset(jax.random.PRNGKey(0))
-    assert obs.shape == (84, 84, 1)
+    assert obs.shape == (84, 84, 2)
     assert float(obs.min()) == 0.0 and float(obs.max()) == 1.0
     # ball at center, both paddles drawn at 0.75, no score bars yet
     assert float(obs[42, 42, 0]) == 1.0
     assert float(jnp.abs(obs[:2]).sum()) == 0.0
     assert float((obs == 0.75).sum()) > 0
+    # at reset the frame stack is [now, now]
+    assert float(jnp.abs(obs[..., 0] - obs[..., 1]).max()) == 0.0
 
 
 def test_registry_binding():
     venv = registry.create_vec_env("DevicePong-v0", num_actors=4)
     info = venv.get_env_info()
-    assert info.observation_space.shape == (84, 84, 1)
+    assert info.observation_space.shape == (84, 84, 2)
     assert info.action_space.n == 3
     state, obs = venv.reset(jax.random.PRNGKey(1))
-    assert obs.shape == (4, 84, 84, 1)
+    assert obs.shape == (4, 84, 84, 2)
     state, obs, rew, done, infos = venv.step(
         state, jnp.ones(4, jnp.int32)
     )
@@ -49,7 +51,8 @@ def test_registry_binding():
 def _state(**kw):
     base = dict(
         ball_x=42.0, ball_y=42.0, vel_x=2.0, vel_y=0.0,
-        prev_bx=42.0, prev_by=42.0, agent_y=42.0, opp_y=42.0,
+        prev_bx=42.0, prev_by=42.0, prev_ay=42.0, prev_oy=42.0,
+        agent_y=42.0, opp_y=42.0,
         agent_score=0, opp_score=0,
     )
     base.update(kw)
@@ -175,6 +178,28 @@ def test_frame_skip_accumulates_and_latches():
                 agent_score=20)
     _, _, rw, tw, _ = env4.step(sw, jnp.int32(1), jax.random.PRNGKey(9))
     assert float(rw) == 1.0 and bool(tw)
+
+
+def test_frame_stack_encodes_velocity_direction():
+    """Channel 1 is the PREVIOUS decision's frame: mirror-image states
+    with opposite ball velocity render identical current channels but
+    different previous channels — direction is channel-separable (and
+    survives a saturating per-pixel normalizer, unlike an intensity
+    trail; envs/jax/pong.py module docstring)."""
+    env = DevicePong(frame_skip=2)
+    s0 = _state(ball_x=40.0, ball_y=30.0, vel_x=2.0, vel_y=0.0)
+    s1 = _state(ball_x=48.0, ball_y=30.0, vel_x=-2.0, vel_y=0.0)
+    k = jax.random.PRNGKey(0)
+    n0, o0, *_ = env.step(s0, jnp.int32(1), k)
+    n1, o1, *_ = env.step(s1, jnp.int32(1), k)
+    # both balls end at x=44: identical current frames away from the
+    # opponent plane (the scripted opponent reacts to inbound vs outbound,
+    # so its own paddle differs — crop it out)
+    np.testing.assert_array_equal(np.asarray(o0[:, 10:, 0]),
+                                  np.asarray(o1[:, 10:, 0]))
+    # previous frames differ (ball was at 40 vs 44)
+    assert float(jnp.abs(o0[..., 1] - o1[..., 1]).sum()) > 0
+    assert float(n0.prev_bx) == 40.0 and float(n1.prev_bx) == 48.0
 
 
 def test_opponent_beatable_at_default_frame_skip():

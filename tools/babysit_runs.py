@@ -24,29 +24,42 @@ LOG = os.path.join(REPO, "benchruns", "babysitter.log")
 MAX_CONCURRENT = 3
 
 # name, config, checkpoint, curve log, completion = (kind, target), platform
+# Round-4 queue (VERDICT.md next-round items 2-5): below-reference rows
+# (BallInCup seeds, Hopper seed), the two missing PPO-MuJoCo rows
+# (Ant-v5, HalfCheetah-v5), 4 more DMC tasks, 2 more SAC-Humanoid seeds.
 RUNS = [
-    ("humanoid5m", "benchruns/sac_humanoid_5m.yaml",
-     "runs/Humanoid-v5_SAC_5M/nn/Humanoid-v5_SAC_5M.ckpt",
-     "docs/sac_humanoid_5m_run.log", ("frames", 5_000_000), "tpu"),
-    # cart_pub finalized early at epoch 350: reward 999.03 — the balance
-    # task's ~1000 ceiling, vs the published table's 988 @~32M frames
-    # (docs/DM_CONTROL.md); target lowered so the babysitter treats the
-    # achieved run as complete instead of relaunching it
-    ("cart_pub", "benchruns/dmc_cart_published.yaml",
-     "runs/CartpoleBalance_published_protocol/nn/CartpoleBalance_published_protocol.ckpt",
-     "docs/dmc_cartpole_balance_published_protocol_run.log", ("epoch", 345), "tpu"),
-    ("hopper", "rl_games_tpu/configs/ref/mujoco/hopper_envpool.yaml",
-     "runs/Hopper-v5_envpool/nn/Hopper-v5_envpool.ckpt",
-     "docs/ppo_hopper_envpool_run.log", ("epoch", 1000), "tpu"),
-    ("walker2d", "rl_games_tpu/configs/ref/mujoco/walker2d_envpool.yaml",
-     "runs/Walker2d-v5_envpool/nn/Walker2d-v5_envpool.ckpt",
-     "docs/ppo_walker2d_envpool_run.log", ("epoch", 1000), "tpu"),
-    ("walker_walk", "rl_games_tpu/configs/ref/dm_control/walker_walk.yaml",
-     "runs/WalkerWalk_envpool/nn/WalkerWalk_envpool.ckpt",
-     "docs/dmc_walker_walk_run.log", ("epoch", 4000), "cpu"),
-    ("ball_in_cup", "rl_games_tpu/configs/ref/dm_control/ball_in_cup.yaml",
-     "runs/BallInCupCatch_envpool/nn/BallInCupCatch_envpool.ckpt",
-     "docs/dmc_ball_in_cup_run.log", ("epoch", 4000), "cpu"),
+    ("ballincup_s17", "benchruns/ballincup_seed17.yaml",
+     "runs/BallInCupCatch_envpool_s17/nn/BallInCupCatch_envpool_s17.ckpt",
+     "docs/dmc_ball_in_cup_seed17_run.log", ("epoch", 4000), "cpu"),
+    ("pendulum_swing", "rl_games_tpu/configs/ref/dm_control/pendulum_swingup.yaml",
+     "runs/PendulumSwingup_envpool/nn/PendulumSwingup_envpool.ckpt",
+     "docs/dmc_pendulum_swingup_run.log", ("epoch", 4000), "cpu"),
+    ("ant", "rl_games_tpu/configs/ref/mujoco/ant_envpool.yaml",
+     "runs/Ant-v5_envpool/nn/Ant-v5_envpool.ckpt",
+     "docs/ppo_ant_envpool_run.log", ("epoch", 2000), "tpu"),
+    ("hopper_s31", "benchruns/hopper_seed31.yaml",
+     "runs/Hopper-v5_envpool_s31/nn/Hopper-v5_envpool_s31.ckpt",
+     "docs/ppo_hopper_envpool_seed31_run.log", ("epoch", 1000), "tpu"),
+    ("sac_hum_s23", "benchruns/sac_humanoid_s23.yaml",
+     "runs/Humanoid-v5_SAC_s23/nn/Humanoid-v5_SAC_s23.ckpt",
+     "docs/sac_humanoid_seed23_run.log", ("frames", 1_000_000), "tpu"),
+    ("walker_stand", "rl_games_tpu/configs/ref/dm_control/walker_stand.yaml",
+     "runs/WalkerStand_envpool/nn/WalkerStand_envpool.ckpt",
+     "docs/dmc_walker_stand_run.log", ("epoch", 4000), "cpu"),
+    ("cheetah_run", "rl_games_tpu/configs/ref/dm_control/cheetah_walk.yaml",
+     "runs/CheetahRun_envpool/nn/CheetahRun_envpool.ckpt",
+     "docs/dmc_cheetah_run_run.log", ("epoch", 4000), "cpu"),
+    ("sac_hum_s31", "benchruns/sac_humanoid_s31.yaml",
+     "runs/Humanoid-v5_SAC_s31/nn/Humanoid-v5_SAC_s31.ckpt",
+     "docs/sac_humanoid_seed31_run.log", ("frames", 1_000_000), "tpu"),
+    # resumes the round-3 partial run (epoch ~504, checkpoints under
+    # benchruns/hc from that round's train_dir)
+    ("halfcheetah", "rl_games_tpu/configs/ref/mujoco/halfcheetah_envpool.yaml",
+     "benchruns/hc/HalfCheetah-v5_envpool/nn/HalfCheetah-v5_envpool.ckpt",
+     "docs/ppo_halfcheetah_envpool_run.log", ("epoch", 1000), "tpu"),
+    ("walker_run", "rl_games_tpu/configs/ref/dm_control/walker_run.yaml",
+     "runs/WalkerRun_envpool/nn/WalkerRun_envpool.ckpt",
+     "docs/dmc_walker_run_run.log", ("epoch", 4000), "cpu"),
 ]
 
 MAX_RELAUNCH = 6  # consecutive relaunches WITHOUT progress (crash loop);
