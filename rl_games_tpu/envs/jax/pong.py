@@ -63,7 +63,7 @@ class PongState:
 
 
 class DevicePong(JaxEnv):
-    """First-to-21 Pong on an 84x84x1 float image rendered on device.
+    """First-to-21 Pong on an 84x84x2 frame-stack image rendered on device.
 
     ``frame_skip`` repeats the chosen action for N physics substeps and
     accumulates the reward, like the reference's Atari MaxAndSkipEnv
@@ -71,7 +71,7 @@ class DevicePong(JaxEnv):
     decision per N frames shortens a rally's decision horizon toward
     ALE-like length. The default is 2 (not ALE's 4): this game's paddle
     moves PADDLE_SPEED px per physics frame, so skip 4 would quantize
-    paddle positioning to 8 px — as coarse as the whole paddle — and
+    paddle positioning to ~the whole paddle height — and
     measurably cripples precise edge-aim play (the scripted edge-aim
     probe in tests/test_pong.py drops from ~6 pts/kframe at skip 2 to
     ~0.5 at skip 4). A point takes >=23 physics steps, so at most one
@@ -82,7 +82,13 @@ class DevicePong(JaxEnv):
     H = 84
     W = 84
     PADDLE_HALF = 4.0       # paddle spans center ± 4 px (8 px tall)
-    PADDLE_SPEED = 2.0      # agent px/step
+    # 2.5 px/frame: faster than any opponent return's |vy| (<= 1.5) by
+    # enough to recover from the far court end — gameplay diagnosis of a
+    # 2.0-px/frame policy showed 97% of lost points with the paddle >5 px
+    # away (median 19 px): ALE's player paddle is likewise much faster
+    # than the ball's vertical drift, making defense recoverable and the
+    # score ceiling a matter of offense, not an unreachable-ball lottery
+    PADDLE_SPEED = 2.5
     # Opponent calibration targets ALE-Pong-like beatability: ALE's
     # computer paddle is famously exploitable (expert play wins 21-0), so
     # "score 20+" is a consistency test, not a duel against a near-perfect
@@ -90,7 +96,7 @@ class DevicePong(JaxEnv):
     # (paddle contact offset >~ 1.6 px) accumulate an uncoverable gap over
     # the ~40-frame crossing, while the opponent's own returns (spin <=
     # deadzone/PADDLE_HALF * BALL_VY_MAX = 1.5) stay coverable by the
-    # agent's 2.0 px/frame paddle. An earlier 1.15/1.0 calibration made
+    # agent's faster paddle. An earlier 1.15/1.0 calibration made
     # the opponent stronger than ALE's: PPO plateaued near +10 — winning
     # most rallies but unable to win ~every rally as "20+" demands.
     OPP_SPEED = 1.0         # opponent tracking px/step (< BALL_VY_MAX)
@@ -99,7 +105,9 @@ class DevicePong(JaxEnv):
     AGENT_PLANE = 80.0      # x of the agent paddle face
     OPP_PLANE = 3.0
     BALL_VX0 = 2.0          # serve speed
-    BALL_VX_MAX = 3.5
+    BALL_VX_MAX = 3.0       # crossing >= ~26 frames: a far-end recovery at
+    # PADDLE_SPEED stays geometrically possible (no unreachable-ball
+    # lottery; ALE expert play likewise never faces an uncoverable return)
     BALL_VY_MAX = 3.0       # edge-hit outgoing vertical speed
     WIN_SCORE = 21
 

@@ -36,9 +36,11 @@ logits, and the RunningMeanStd input/value normalizers
   ``running_mean_std.running_mean_std.<obs_key>.*``) maps onto our
   per-key dict of RunningMeanStd states.
 
-SAC checkpoints convert through ``convert_sac_weights`` below. Not covered
-(clear errors): d2rl concat torsos, impala towers, normalized torsos, and
-rnn concat_input/concat_output wirings.
+SAC checkpoints convert through ``convert_sac_weights`` below. d2rl concat
+torsos import directly (same param layout as plain MLPs, torch-side
+'linears' ModuleList prefix). Not covered (clear errors): impala towers,
+normalized torsos, rnn concat_input/concat_output wirings, and d2rl fed
+by a conv stack.
 """
 
 from typing import Any, Dict, Tuple
@@ -140,9 +142,11 @@ def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
             "rnn concat_input/concat_output wirings are not covered by "
             "the torch-checkpoint importer"
         )
-    if network_cfg.get("mlp", {}).get("d2rl"):
+    if network_cfg.get("mlp", {}).get("d2rl") and network_cfg.get("cnn"):
         raise NotImplementedError(
-            "d2rl torsos are not covered by the torch-checkpoint importer"
+            "d2rl torsos fed by a conv stack are not covered by the "
+            "torch-checkpoint importer: the NCHW->NHWC flatten permutation "
+            "would also apply to every layer's skip-concat input columns"
         )
     if network_cfg.get("normalization"):
         # a normalized torso's Sequential interleaves LayerNorm/BatchNorm
@@ -209,7 +213,12 @@ def convert_a2c_state_dict(
     def fill_mlp(name: str):
         if name not in body:
             return
-        layers = src.seq_layers(name)
+        # d2rl torsos (common/d2rl.py D2RLNet) keep their Linears in a
+        # 'linears' ModuleList; our D2RLMLP shares the plain MLP's param
+        # layout and concat order (cat[x, input]), so only the torch-side
+        # prefix differs
+        is_d2rl = bool(network_cfg.get("mlp", {}).get("d2rl"))
+        layers = src.seq_layers(name + ".linears" if is_d2rl else name)
         dense_names = sorted(
             body[name], key=lambda s: int(s.rsplit("_", 1)[1])
         )

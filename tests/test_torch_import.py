@@ -669,3 +669,40 @@ def test_import_dict_obs_normalizer():
         np.testing.assert_allclose(
             np.asarray(ours[k]), tref[k].numpy(), atol=1e-5, err_msg=k
         )
+
+
+def test_import_d2rl_torso():
+    """d2rl concat torso (common/d2rl.py D2RLNet): torch 'linears'
+    ModuleList maps onto our D2RLMLP (identical param layout and
+    cat[x, input] order), so forwards match directly."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [32, 16], "activation": "relu", "d2rl": True,
+                    "initializer": {"name": "default"}},
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": 0.0},
+                "fixed_sigma": True}},
+        },
+    }
+    tm = _torch_model(cfg, 3, (7,), False, False, seed=43)
+    model, net_params, norm = _ours(cfg, 3, (7,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (7,),
+    )
+    obs = np.random.default_rng(44).normal(size=(6, 7)).astype(np.float32)
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["mus"]), tres["mus"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-5
+    )
