@@ -157,23 +157,31 @@ def potential_energy(q):
 
 
 def _step_factors(q, qd):
-    """chol(M(q)), bias, foot jacobian — computed once per control step and
-    frozen across integration substeps (ant2d._step_factors scheme).
+    """chol(M(q)), bias, foot jacobian + foot points — computed once per
+    control step and frozen across integration substeps
+    (ant2d._step_factors scheme).
 
     Uses the Jacobian point-mass formulation (lagrangian.py: M = JᵀWJ,
     bias = JᵀW·J̇q̇ + ∇V from ONE jacfwd + one jvp-of-jvp) instead of
     jax.hessian of the energy — the hessian lowering alone cost 23 ms for
     8192 envs on TPU, the entire control step (docs/PERF.md). Equivalence
     with the energy form is asserted in tests/test_ant3d.py."""
-    M, bias, feet_jac = lagrangian_factors(
+    M, bias, feet_jac, feet0 = lagrangian_factors(
         _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
     )
     cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
-    return cho, bias, feet_jac
+    return cho, bias, feet_jac, feet0
 
 
-def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac):
-    """Per-substep forces (3D contacts, damping, joint limits) + solve."""
+def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac, feet):
+    """Per-substep forces (3D contacts, damping, joint limits) + solve.
+
+    ``feet`` are the current foot positions — the caller advances them
+    with the frozen jacobian (feet0 + J·(q − q0)), consistent with the
+    frozen-factor integration scheme and first-order exact over a
+    substep's |Δq| ~ 1e-2 rad; re-running the full kinematics here cost
+    one extra primal per substep (4/control step) for sub-1e-4 effect
+    on the penalty contact forces."""
     tau = jnp.zeros(NQ).at[6:].set(TORQUE_SCALE * tau_joints)
     tau = tau.at[6:].add(-JOINT_DAMPING * qd[6:])
     joint_q = q[6:]
@@ -185,7 +193,6 @@ def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac):
 
     # foot contacts: penalty normal (z) + Coulomb-style tangential friction
     # in the ground plane
-    feet = _link_frames(q)[2]
     feet_vel = feet_jac @ qd  # [4, 3]
     depth = jnp.maximum(-feet[:, 2], 0.0)
     in_contact = depth > 0.0
@@ -253,11 +260,13 @@ class Ant3D(JaxEnv):
         action = jnp.clip(action, -1.0, 1.0)
         q, qd = estate.q, estate.qd
         h = DT / SUBSTEPS
-        cho, bias, feet_jac = _step_factors(q, qd)
+        q0 = q
+        cho, bias, feet_jac, feet0 = _step_factors(q, qd)
 
         def substep(carry, _):
             q, qd = carry
-            qdd = _substep_qdd(q, qd, action, cho, bias, feet_jac)
+            feet = feet0 + feet_jac @ (q - q0)
+            qdd = _substep_qdd(q, qd, action, cho, bias, feet_jac, feet)
             qd = jnp.clip(qd + h * qdd, -50.0, 50.0)
             q = q + h * qd
             return (q, qd), None

@@ -188,20 +188,24 @@ def potential_energy(q):
 
 
 def _step_factors(q, qd):
-    """chol(M(q)), bias, contact jacobian — once per control step, frozen
-    across integration substeps. Jacobian point-mass formulation
-    (lagrangian.py; no jax.hessian — see ant3d._step_factors and
-    docs/PERF.md). Equivalence with the energy-autodiff form is asserted
-    in tests/test_humanoid3d.py."""
-    M, bias, contact_jac = lagrangian_factors(
+    """chol(M(q)), bias, contact jacobian + contact points — once per
+    control step, frozen across integration substeps. Jacobian point-mass
+    formulation (lagrangian.py; no jax.hessian — see ant3d._step_factors
+    and docs/PERF.md). Equivalence with the energy-autodiff form is
+    asserted in tests/test_humanoid3d.py."""
+    M, bias, contact_jac, pts0 = lagrangian_factors(
         _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
     )
     cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
-    return cho, bias, contact_jac
+    return cho, bias, contact_jac, pts0
 
 
-def _substep_qdd(q, qd, action, cho, bias, contact_jac):
-    """Per-substep forces (3D heel/toe contacts, damping, joint limits)."""
+def _substep_qdd(q, qd, action, cho, bias, contact_jac, pts):
+    """Per-substep forces (3D heel/toe contacts, damping, joint limits).
+
+    ``pts`` are the current contact points, advanced by the caller with
+    the frozen jacobian (pts0 + J·(q − q0)) instead of re-running the
+    full kinematics each substep (ant3d._substep_qdd note)."""
     tau = jnp.zeros(NQ).at[6:].set(GEAR * action)
     tau = tau.at[6:].add(-JOINT_DAMPING * qd[6:])
     joint_q = q[6:]
@@ -211,7 +215,6 @@ def _substep_qdd(q, qd, action, cho, bias, contact_jac):
     )
     tau = tau.at[6:].add(limit_force)
 
-    pts = _link_frames(q)[2]
     pts_vel = contact_jac @ qd  # [4, 3]
     depth = jnp.maximum(-pts[:, 2], 0.0)
     in_contact = depth > 0.0
@@ -286,11 +289,13 @@ class Humanoid3D(JaxEnv):
         action = jnp.clip(action, -1.0, 1.0)
         q, qd = estate.q, estate.qd
         h = DT / SUBSTEPS
-        cho, bias, contact_jac = _step_factors(q, qd)
+        q0 = q
+        cho, bias, contact_jac, pts0 = _step_factors(q, qd)
 
         def substep(carry, _):
             q, qd = carry
-            qdd = _substep_qdd(q, qd, action, cho, bias, contact_jac)
+            pts = pts0 + contact_jac @ (q - q0)
+            qdd = _substep_qdd(q, qd, action, cho, bias, contact_jac, pts)
             qd = jnp.clip(qd + h * qdd, -50.0, 50.0)
             q = q + h * qd
             return (q, qd), None

@@ -108,12 +108,16 @@ def stack_mat(Rs):
 
 
 def lagrangian_factors(link_frames_fn, masses, inertias, q, qd, gravity=9.81):
-    """M, bias, contact jacobian for one env.
+    """M, bias, contact jacobian + primal contact points for one env.
 
     link_frames_fn(q) -> (coms [nb,3], Rs [nb,3,3], contacts [nc,3]),
     written in scalar form (see module docstring); masses/inertias: [nb].
-    Returns (M [nq,nq], bias [nq], contact_jac [nc,3,nq]); bias includes
-    ∇V for gravity along -z.
+    Returns (M [nq,nq], bias [nq], contact_jac [nc,3,nq], contacts [nc,3]);
+    bias includes ∇V for gravity along -z. The primal contact points come
+    free from the linearize pass — envs that freeze these factors across
+    integration substeps (ant3d/humanoid3d._step_factors) advance the
+    contact points by the SAME first-order model, contacts0 + J·(q − q0),
+    instead of re-running the full kinematics every substep.
     """
     nq = q.shape[-1]
 
@@ -129,7 +133,7 @@ def lagrangian_factors(link_frames_fn, masses, inertias, q, qd, gravity=9.81):
     )
 
     # J columns: one linearize, nq all-scalar tangent passes.
-    _, lin = jax.linearize(link_frames_fn, q)
+    (_, _, contacts0), lin = jax.linearize(link_frames_fn, q)
     basis = jnp.eye(nq)
     us, con_cols = [], []
     for i in range(nq):
@@ -152,4 +156,4 @@ def lagrangian_factors(link_frames_fn, masses, inertias, q, qd, gravity=9.81):
     M = jnp.stack([jnp.stack(r) for r in rows])
     bias = jnp.stack([jnp.sum(bvec * u, axis=-1) for u in us])
     contact_jac = jnp.stack(con_cols, axis=-1)  # [nc, 3, nq]
-    return M, bias, contact_jac
+    return M, bias, contact_jac, contacts0

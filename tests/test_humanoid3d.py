@@ -67,7 +67,7 @@ def test_jacobian_factors_match_energy_autodiff():
             - jax.grad(kinetic_energy, argnums=0)(q, qd)
             + jax.grad(potential_energy)(q)
         )
-        M, bias, cj = lagrangian_factors(
+        M, bias, cj, pts0 = lagrangian_factors(
             _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
         )
         np.testing.assert_allclose(
@@ -79,6 +79,10 @@ def test_jacobian_factors_match_energy_autodiff():
         cj_ref = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)
         np.testing.assert_allclose(
             np.asarray(cj), np.asarray(cj_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pts0), np.asarray(_link_frames(q)[2]),
+            rtol=1e-5, atol=1e-6,
         )
 
 
