@@ -102,6 +102,15 @@ class DevicePong(JaxEnv):
     OPP_SPEED = 1.0         # opponent tracking px/step (< BALL_VY_MAX)
     OPP_RETURN_SPEED = 0.5  # opponent drift to center when ball outbound
     OPP_DEADZONE = 2.0
+    # The opponent's RETURN spin is capped below the agent's: rally traces
+    # showed the opponent's own tracking lag on fast balls producing
+    # extreme-offset hits whose returns (|vy| up to 3.55 before the cap)
+    # crossed the court faster than any paddle start position could
+    # cover — aces. ALE Pong's computer cannot ace expert play (21-0 runs
+    # exist); with returns <= 2.0 every opponent ball is coverable from
+    # ANY paddle position (worst case ~70 px of travel in the >= 26-frame
+    # crossing at 2.5 px/frame), so losses are always skill, never luck.
+    OPP_VY_MAX = 2.0
     AGENT_PLANE = 80.0      # x of the agent paddle face
     OPP_PLANE = 3.0
     BALL_VX0 = 2.0          # serve speed
@@ -242,16 +251,22 @@ class DevicePong(JaxEnv):
         by = jnp.where(over, 2.0 * hi - by, by)
         vy = jnp.where(over, -vy, vy)
 
-        def paddle_bounce(crossed, plane, paddle_y, bx, vx, vy):
+        def paddle_bounce(crossed, plane, paddle_y, bx, vx, vy, vy_cap):
             hit = crossed & (
                 jnp.abs(by - paddle_y) <= self.PADDLE_HALF + 1.0
             )
             new_vx = -jnp.sign(vx) * jnp.minimum(
                 jnp.abs(vx) * 1.05, self.BALL_VX_MAX
             )
-            # contact offset sets the outgoing angle (spin)
-            new_vy = (
-                (by - paddle_y) / self.PADDLE_HALF * self.BALL_VY_MAX
+            # contact offset sets the outgoing angle (spin), capped at
+            # vy_cap: the hit window extends 1 px past the paddle edge,
+            # so without the clip an edge-of-window hit exceeded the
+            # nominal BALL_VY_MAX by 25% — rally traces showed the
+            # OPPONENT producing vy 3.55 aces that no paddle position
+            # could cover (see class docstring on OPP_VY_MAX)
+            new_vy = jnp.clip(
+                (by - paddle_y) / self.PADDLE_HALF * self.BALL_VY_MAX,
+                -vy_cap, vy_cap,
             )
             bx = jnp.where(hit, 2.0 * plane - bx, bx)
             vx = jnp.where(hit, new_vx, vx)
@@ -260,11 +275,13 @@ class DevicePong(JaxEnv):
 
         crossed_agent = (x0 < self.AGENT_PLANE) & (bx >= self.AGENT_PLANE)
         bx, vx, vy = paddle_bounce(
-            crossed_agent, jnp.float32(self.AGENT_PLANE), agent_y, bx, vx, vy
+            crossed_agent, jnp.float32(self.AGENT_PLANE), agent_y, bx, vx,
+            vy, jnp.float32(self.BALL_VY_MAX),
         )
         crossed_opp = (x0 > self.OPP_PLANE) & (bx <= self.OPP_PLANE)
         bx, vx, vy = paddle_bounce(
-            crossed_opp, jnp.float32(self.OPP_PLANE), opp_y, bx, vx, vy
+            crossed_opp, jnp.float32(self.OPP_PLANE), opp_y, bx, vx,
+            vy, jnp.float32(self.OPP_VY_MAX),
         )
 
         # points: ball reached a back wall (missed at the plane crossing)

@@ -249,3 +249,21 @@ def test_pong_config_builds_and_trains_one_epoch():
     state, metrics = fn(state)
     assert np.isfinite(float(metrics["a_loss"]))
     assert np.isfinite(float(metrics["c_loss"]))
+
+
+def test_spin_caps_agent_and_opponent():
+    """Outgoing spin is clamped: the hit window extends 1 px past the
+    paddle edge, so uncapped spin reached 1.25x BALL_VY_MAX; the
+    opponent's cap is lower still (OPP_VY_MAX) so its returns are always
+    coverable — losses are skill, never an ace lottery (class docstring)."""
+    env = DevicePong(frame_skip=1)
+    # agent hit at the very edge of the window (offset +5): vy capped at 3.0
+    s = _state(ball_x=79.0, ball_y=47.0, vel_x=2.0, vel_y=0.0, agent_y=42.0)
+    s2, *_ = env.step(s, jnp.int32(1), jax.random.PRNGKey(0))
+    assert float(s2.vel_x) < 0
+    assert float(s2.vel_y) == env.BALL_VY_MAX
+    # opponent hit at its window edge: vy capped at OPP_VY_MAX
+    s = _state(ball_x=5.0, ball_y=47.0, vel_x=-2.0, vel_y=0.0, opp_y=42.0)
+    s2, *_ = env.step(s, jnp.int32(1), jax.random.PRNGKey(0))
+    assert float(s2.vel_x) > 0
+    assert float(s2.vel_y) == env.OPP_VY_MAX
