@@ -173,11 +173,16 @@ def _step_factors(q, qd):
     bias = coriolis - dTdq + grav
     cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
     feet_jac = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)  # [4, 2, NQ]
-    return cho, bias, feet_jac
+    feet0 = _link_frames(q)[2]
+    return cho, bias, feet_jac, feet0
 
 
-def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac):
-    """Cheap per-substep forces (contacts, damping, limits) + cho_solve."""
+def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac, feet):
+    """Cheap per-substep forces (contacts, damping, limits) + cho_solve.
+
+    ``feet`` are advanced by the caller with the frozen jacobian
+    (feet0 + J·(q − q0)) instead of re-running the kinematics each
+    substep (ant3d._substep_qdd note)."""
     tau = jnp.zeros(NQ).at[3:].set(TORQUE_SCALE * tau_joints)
     tau = tau.at[3:].add(-JOINT_DAMPING * qd[3:])
     joint_q = q[3:]
@@ -188,7 +193,6 @@ def _substep_qdd(q, qd, tau_joints, cho, bias, feet_jac):
     tau = tau.at[3:].add(limit_force)
 
     # foot contacts: penalty normal + Coulomb-style tangential friction
-    feet = _link_frames(q)[2]
     feet_vel = feet_jac @ qd  # [4, 2]
     depth = jnp.maximum(-feet[:, 1], 0.0)
     in_contact = depth > 0.0
@@ -251,11 +255,13 @@ class Ant2D(JaxEnv):
         action = jnp.clip(action, -1.0, 1.0)
         q, qd = estate.q, estate.qd
         h = DT / SUBSTEPS
-        cho, bias, feet_jac = _step_factors(q, qd)
+        q0 = q
+        cho, bias, feet_jac, feet0 = _step_factors(q, qd)
 
         def substep(carry, _):
             q, qd = carry
-            qdd = _substep_qdd(q, qd, action, cho, bias, feet_jac)
+            feet = feet0 + feet_jac @ (q - q0)
+            qdd = _substep_qdd(q, qd, action, cho, bias, feet_jac, feet)
             qd = jnp.clip(qd + h * qdd, -50.0, 50.0)
             q = q + h * qd
             return (q, qd), None

@@ -110,9 +110,10 @@ class PlanarWalker(JaxEnv):
         bias = coriolis - dTdq + grav
         cho = _chol_factor(M + 1e-6 * jnp.eye(self.nq))
         feet_jac = jax.jacobian(lambda qq: self._link_frames(qq)[2])(q)
-        return cho, bias, feet_jac
+        feet0 = self._link_frames(q)[2]
+        return cho, bias, feet_jac, feet0
 
-    def _substep_qdd(self, q, qd, tau_joints, cho, bias, feet_jac):
+    def _substep_qdd(self, q, qd, tau_joints, cho, bias, feet_jac, feet):
         tau = jnp.zeros(self.nq).at[3:].set(self.torque_scale * tau_joints)
         tau = tau.at[3:].add(-self.joint_damping * qd[3:])
         joint_q = q[3:]
@@ -122,7 +123,6 @@ class PlanarWalker(JaxEnv):
         )
         tau = tau.at[3:].add(limit_force)
 
-        feet = self._link_frames(q)[2]
         feet_vel = feet_jac @ qd
         depth = jnp.maximum(-feet[:, 1], 0.0)
         in_contact = depth > 0.0
@@ -173,11 +173,13 @@ class PlanarWalker(JaxEnv):
         action = jnp.clip(action, -1.0, 1.0)
         q, qd = estate.q, estate.qd
         h = self.dt / self.substeps
-        cho, bias, feet_jac = self._step_factors(q, qd)
+        q0 = q
+        cho, bias, feet_jac, feet0 = self._step_factors(q, qd)
 
         def substep(carry, _):
             q, qd = carry
-            qdd = self._substep_qdd(q, qd, action, cho, bias, feet_jac)
+            feet = feet0 + feet_jac @ (q - q0)
+            qdd = self._substep_qdd(q, qd, action, cho, bias, feet_jac, feet)
             qd = jnp.clip(qd + h * qdd, -50.0, 50.0)
             q = q + h * qd
             return (q, qd), None
