@@ -37,6 +37,7 @@ test_humanoid3d.py.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # --- 3x3 tuple-matrix helpers for scalar-form kinematics ------------------
@@ -132,9 +133,14 @@ def lagrangian_factors(link_frames_fn, masses, inertias, q, qd, gravity=9.81):
         gravity * masses
     )
 
-    # J columns: one linearize, nq all-scalar tangent passes.
+    # J columns: one linearize, nq all-scalar tangent passes. The basis
+    # rows are NUMPY constants, not traced arrays: each tangent input
+    # enters the jaxpr as a literal 0.0/1.0 scalar, so XLA's algebraic
+    # simplifier deletes the zero chains — a joint column's tangent pass
+    # then only computes its own leg's kinematics (structural sparsity
+    # for free, no hand-coded Jacobian).
     (_, _, contacts0), lin = jax.linearize(link_frames_fn, q)
-    basis = jnp.eye(nq)
+    basis = np.eye(nq, dtype=np.float32)
     us, con_cols = [], []
     for i in range(nq):
         tc, tR, tcon = lin(basis[i])
