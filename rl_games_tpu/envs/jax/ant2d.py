@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from rl_games_tpu.envs.jax.base import JaxEnv
+from rl_games_tpu.envs.jax.lagrangian import lagrangian_factors_2d
 from rl_games_tpu.envs.spaces import Box, EnvInfo
 
 # ---------------------------------------------------------------------------
@@ -160,20 +161,18 @@ def _chol_solve(chol, b):
 def _step_factors(q, qd):
     """Heavy, slowly-varying terms computed ONCE per control step:
 
-    chol(M(q)), bias = coriolis − dT/dq + dV/dq, and the foot jacobian. M is
-    frozen across the integration substeps (it varies on joint-motion
-    timescales, not the 5 ms substep), so each substep is a cheap
-    forward-substitution instead of a fresh second-derivative pass + solve.
+    chol(M(q)), bias, the foot jacobian + foot points. M is frozen across
+    the integration substeps (it varies on joint-motion timescales, not
+    the 5 ms substep), so each substep is a cheap forward-substitution
+    instead of a fresh second-derivative pass + solve. Factors come from
+    the planar Jacobian point-mass form (lagrangian.lagrangian_factors_2d
+    — constant-basis tangent passes, no jax.hessian); equivalence with
+    the energy-autodiff form is asserted in tests/test_ant2d.py.
     """
-    M = jax.hessian(kinetic_energy, argnums=1)(q, qd)
-    dTdqd = lambda qq, qqd: jax.grad(kinetic_energy, argnums=1)(qq, qqd)
-    coriolis = jax.jvp(lambda qq: dTdqd(qq, qd), (q,), (qd,))[1]
-    grav = jax.grad(potential_energy)(q)
-    dTdq = jax.grad(kinetic_energy, argnums=0)(q, qd)
-    bias = coriolis - dTdq + grav
+    M, bias, feet_jac, feet0 = lagrangian_factors_2d(
+        _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
+    )
     cho = _chol_factor(M + 1e-6 * jnp.eye(NQ))
-    feet_jac = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)  # [4, 2, NQ]
-    feet0 = _link_frames(q)[2]
     return cho, bias, feet_jac, feet0
 
 

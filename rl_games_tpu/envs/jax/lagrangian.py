@@ -163,3 +163,52 @@ def lagrangian_factors(link_frames_fn, masses, inertias, q, qd, gravity=9.81):
     bias = jnp.stack([jnp.sum(bvec * u, axis=-1) for u in us])
     contact_jac = jnp.stack(con_cols, axis=-1)  # [nc, 3, nq]
     return M, bias, contact_jac, contacts0
+
+
+def lagrangian_factors_2d(link_frames_fn, masses, inertias, q, qd,
+                          gravity=9.81):
+    """Planar variant of `lagrangian_factors` for the 2D envs.
+
+    link_frames_fn(q) -> (coms [nb,2], angles [nb], contacts [nc,2]);
+    kinetic energy T = ½ Σ m|v_com|² + ½ Σ I ω̇² means the flattened
+    kinematics vector is x = [coms…, angles…] with weights
+    [m,m per com, I per angle], and the same identities hold:
+    M = JᵀWJ, bias = JᵀW·J̇q̇ + ∇V (∇V = g · m-weighted y-rows of J).
+    Basis rows are numpy constants so XLA deletes the zero-tangent
+    chains (the sparsity note on `lagrangian_factors`). Returns
+    (M [nq,nq], bias [nq], contact_jac [nc,2,nq], contacts [nc,2]).
+    """
+    nq = q.shape[-1]
+
+    def flatten(coms, angles):
+        return jnp.concatenate([coms.reshape(-1), angles])
+
+    wvec = jnp.concatenate([jnp.repeat(masses, 2), inertias])
+    nb = masses.shape[0]
+    gvec = jnp.zeros(3 * nb).at[jnp.arange(nb) * 2 + 1].set(
+        gravity * masses
+    )
+
+    (_, _, contacts0), lin = jax.linearize(link_frames_fn, q)
+    basis = np.eye(nq, dtype=np.float32)
+    us, con_cols = [], []
+    for i in range(nq):
+        tc, ta, tcon = lin(basis[i])
+        us.append(flatten(tc, ta))
+        con_cols.append(tcon)
+
+    vel = lambda qq: jax.jvp(link_frames_fn, (qq,), (qd,))[1]
+    _, (ac, aa, _) = jax.jvp(vel, (q,), (qd,))
+    bvec = wvec * flatten(ac, aa) + gvec
+
+    wus = [wvec * u for u in us]
+    rows = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for j in range(i, nq):
+            m_ij = jnp.sum(wus[i] * us[j], axis=-1)
+            rows[i][j] = m_ij
+            rows[j][i] = m_ij
+    M = jnp.stack([jnp.stack(r) for r in rows])
+    bias = jnp.stack([jnp.sum(bvec * u, axis=-1) for u in us])
+    contact_jac = jnp.stack(con_cols, axis=-1)  # [nc, 2, nq]
+    return M, bias, contact_jac, contacts0

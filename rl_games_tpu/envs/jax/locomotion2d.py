@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from rl_games_tpu.envs.jax.ant2d import _chol_factor, _chol_solve
+from rl_games_tpu.envs.jax.lagrangian import lagrangian_factors_2d
 from rl_games_tpu.envs.jax.base import JaxEnv
 from rl_games_tpu.envs.spaces import Box, EnvInfo
 
@@ -101,16 +102,11 @@ class PlanarWalker(JaxEnv):
         return GRAVITY * jnp.sum(self.masses * coms[:, 1])
 
     def _step_factors(self, q, qd):
-        ke = self._kinetic_energy
-        M = jax.hessian(ke, argnums=1)(q, qd)
-        dTdqd = lambda qq, qqd: jax.grad(ke, argnums=1)(qq, qqd)
-        coriolis = jax.jvp(lambda qq: dTdqd(qq, qd), (q,), (qd,))[1]
-        grav = jax.grad(self._potential_energy)(q)
-        dTdq = jax.grad(ke, argnums=0)(q, qd)
-        bias = coriolis - dTdq + grav
+        # planar Jacobian point-mass factors (ant2d._step_factors note)
+        M, bias, feet_jac, feet0 = lagrangian_factors_2d(
+            self._link_frames, self.masses, self.inertias, q, qd, GRAVITY
+        )
         cho = _chol_factor(M + 1e-6 * jnp.eye(self.nq))
-        feet_jac = jax.jacobian(lambda qq: self._link_frames(qq)[2])(q)
-        feet0 = self._link_frames(q)[2]
         return cho, bias, feet_jac, feet0
 
     def _substep_qdd(self, q, qd, tau_joints, cho, bias, feet_jac, feet):

@@ -154,3 +154,47 @@ def test_walker2d_balance_improves():
         state, m = fn(state)
     assert float(m["mean_lengths"]) > 45.0  # untrained topples in ~25 steps
     assert float(m["mean_rewards"][0]) > 40.0
+
+
+def test_factor_scheme_matches_energy_autodiff():
+    """Production factors (lagrangian_factors_2d: M = JᵀWJ with
+    constant-basis tangent passes) equal the energy-autodiff forms
+    (hessian mass matrix, jvp-of-grad Coriolis) — same contract as the 3D
+    tests (tests/test_ant3d.py)."""
+    import numpy as np
+
+    from rl_games_tpu.envs.jax.ant2d import (
+        _MASSES, _INERTIAS, GRAVITY, NQ, _link_frames, kinetic_energy,
+        potential_energy,
+    )
+    from rl_games_tpu.envs.jax.lagrangian import lagrangian_factors_2d
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        q = jnp.asarray(rng.normal(size=NQ) * 0.3, jnp.float32)
+        qd = jnp.asarray(rng.normal(size=NQ) * 0.5, jnp.float32)
+        M_ref = jax.hessian(kinetic_energy, argnums=1)(q, qd)
+        dTdqd = lambda qq, qqd: jax.grad(kinetic_energy, argnums=1)(qq, qqd)
+        cor = jax.jvp(lambda qq: dTdqd(qq, qd), (q,), (qd,))[1]
+        bias_ref = (
+            cor
+            - jax.grad(kinetic_energy, argnums=0)(q, qd)
+            + jax.grad(potential_energy)(q)
+        )
+        M, bias, cj, feet0 = lagrangian_factors_2d(
+            _link_frames, _MASSES, _INERTIAS, q, qd, GRAVITY
+        )
+        np.testing.assert_allclose(
+            np.asarray(M), np.asarray(M_ref), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(bias), np.asarray(bias_ref), rtol=2e-3, atol=2e-4
+        )
+        cj_ref = jax.jacobian(lambda qq: _link_frames(qq)[2])(q)
+        np.testing.assert_allclose(
+            np.asarray(cj), np.asarray(cj_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(feet0), np.asarray(_link_frames(q)[2]),
+            rtol=1e-5, atol=1e-6,
+        )
