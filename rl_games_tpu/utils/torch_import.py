@@ -38,9 +38,12 @@ logits, and the RunningMeanStd input/value normalizers
 
 SAC checkpoints convert through ``convert_sac_weights`` below. d2rl concat
 torsos import directly (same param layout as plain MLPs, torch-side
-'linears' ModuleList prefix). Not covered (clear errors): impala towers,
-normalized torsos, rnn concat_input/concat_output wirings, and d2rl fed
-by a conv stack.
+'linears' ModuleList prefix), and impala towers
+(A2CResnetBuilder/'resnet_actor_critic': per-stage ConvBlock + residual
+blocks, maxpool flatten arithmetic, the builder's 'mlp' torso prefix).
+Not covered (clear errors): normalized torsos, rnn
+concat_input/concat_output wirings, d2rl fed by a conv stack, and impala
+use_bn/use_zero_init variants.
 """
 
 from typing import Any, Dict, Tuple
@@ -80,6 +83,16 @@ def _conv_out_hw(h: int, w: int, convs) -> Tuple[int, int]:
         p = int(c.get("padding", 0))
         h = (h + 2 * p - k) // s + 1
         w = (w + 2 * p - k) // s + 1
+    return h, w
+
+
+def _impala_out_hw(h: int, w: int, n_stages: int) -> Tuple[int, int]:
+    """Spatial dims after an impala tower: each stage is a SAME conv plus
+    MaxPool2d(kernel 3, stride 2, padding 1) → floor((h-1)/2)+1
+    (network_builder.py:675-688)."""
+    for _ in range(n_stages):
+        h = (h - 1) // 2 + 1
+        w = (w - 1) // 2 + 1
     return h, w
 
 
@@ -158,9 +171,12 @@ def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
             "torch-checkpoint importer"
         )
     if network_cfg.get("cnn", {}).get("type") == "impala":
-        raise NotImplementedError(
-            "impala towers are not covered by the torch-checkpoint importer"
-        )
+        for k in sd:
+            if ".alpha" in k or ".bn." in k:
+                raise NotImplementedError(
+                    "impala towers with use_zero_init/use_bn are not "
+                    f"covered by the torch-checkpoint importer (found {k})"
+                )
 
 
 def _assign(dst: dict, path: Tuple[str, ...], value: np.ndarray):
@@ -196,16 +212,28 @@ def convert_a2c_state_dict(
     `network_cfg` is the YAML ``params['network']`` dict; `input_shape` the
     observation shape (H, W, C) for conv nets, (D,) otherwise.
     """
+    network_cfg = dict(network_cfg)
+    if network_cfg.get("name") == "resnet_actor_critic":
+        # the resnet builder family IS the impala torso (model_builder.py
+        # _build_resnet_network applies the same normalization)
+        cnn = dict(network_cfg.get("cnn") or {})
+        cnn.setdefault("type", "impala")
+        network_cfg["cnn"] = cnn
     _check_unsupported(sd, network_cfg)
     src = _TorchSide(sd)
     params = _to_mutable(net_params)
     body = params["params"]
 
-    convs = network_cfg.get("cnn", {}).get("convs")
+    cnn_cfg = network_cfg.get("cnn", {})
+    convs = cnn_cfg.get("convs")
     flat_hw = None
     if convs:
         h, w = int(input_shape[0]), int(input_shape[1])
         flat_hw = _conv_out_hw(h, w, convs) + (int(convs[-1]["filters"]),)
+    elif cnn_cfg.get("type") == "impala":
+        depths = list(cnn_cfg["conv_depths"])
+        h, w = int(input_shape[0]), int(input_shape[1])
+        flat_hw = _impala_out_hw(h, w, len(depths)) + (int(depths[-1]),)
     rnn_before_mlp = bool(
         (network_cfg.get("rnn") or {}).get("before_mlp", False)
     )
@@ -218,7 +246,16 @@ def convert_a2c_state_dict(
         # layout and concat order (cat[x, input]), so only the torch-side
         # prefix differs
         is_d2rl = bool(network_cfg.get("mlp", {}).get("d2rl"))
-        layers = src.seq_layers(name + ".linears" if is_d2rl else name)
+        prefix = name + ".linears" if is_d2rl else name
+        # the resnet builder names its shared torso 'mlp', not 'actor_mlp'
+        # (A2CResnetBuilder, network_builder.py:745)
+        if not any(
+            k.startswith(f"a2c_network.{prefix}.") for k in src.sd
+        ):
+            alt = prefix.replace("actor_", "", 1)
+            if any(k.startswith(f"a2c_network.{alt}.") for k in src.sd):
+                prefix = alt
+        layers = src.seq_layers(prefix)
         dense_names = sorted(
             body[name], key=lambda s: int(s.rsplit("_", 1)[1])
         )
@@ -317,8 +354,37 @@ def convert_a2c_state_dict(
         _assign(body, (ln_name, "scale"), src.take(f"{torch_mod}.weight"))
         _assign(body, (ln_name, "bias"), src.take(f"{torch_mod}.bias"))
 
-    fill_cnn("actor_cnn")
-    fill_cnn("critic_cnn")
+    def fill_impala(name: str, torch_mod: str):
+        """Impala tower (A2CResnetBuilder `cnn`, network_builder.py
+        ImpalaSequential :675-688): per stage, the downsampling ConvBlock
+        + 2 residual blocks × 2 ConvBlocks — all plain Conv2d → flax Conv
+        transposes. use_bn/use_zero_init variants are rejected in
+        _check_unsupported."""
+        if name not in body:
+            return
+        stages = [k for k in body[name] if k.startswith("ImpalaSequential_")]
+
+        def conv(path, tconv):
+            _assign(body, path + ("kernel",),
+                    src.take(tconv + ".weight").transpose(2, 3, 1, 0))
+            _assign(body, path + ("bias",), src.take(tconv + ".bias"))
+
+        for i in range(len(stages)):
+            stage = (name, f"ImpalaSequential_{i}")
+            tmod = f"{torch_mod}.{i}"
+            conv(stage + ("Conv_0",), f"{tmod}.conv.conv")
+            for rb, tb in ((0, "res_block1"), (1, "res_block2")):
+                for cj, tc in ((0, "conv1"), (1, "conv2")):
+                    conv(
+                        stage + (f"ImpalaResidualBlock_{rb}", f"Conv_{cj}"),
+                        f"{tmod}.{tb}.{tc}.conv",
+                    )
+
+    if cnn_cfg.get("type") == "impala":
+        fill_impala("actor_cnn", "a2c_network.cnn")
+    else:
+        fill_cnn("actor_cnn")
+        fill_cnn("critic_cnn")
     fill_mlp("actor_mlp")
     fill_mlp("critic_mlp")
     # shared nets name the core 'rnn'; separate trunks 'a_rnn'/'c_rnn'

@@ -706,3 +706,50 @@ def test_import_d2rl_torso():
     np.testing.assert_allclose(
         np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-5
     )
+
+
+def test_import_impala_resnet():
+    """Impala tower import (A2CResnetBuilder 'resnet_actor_critic'):
+    per-stage ConvBlock + 2 residual blocks map onto our
+    ImpalaSequential/ImpalaResidualBlock tree, the flatten permutation
+    uses the maxpool arithmetic, and the resnet builder's 'mlp' (not
+    'actor_mlp') torch prefix resolves."""
+    cfg = {
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "resnet_actor_critic", "separate": False,
+            "cnn": {"permute_input": False, "conv_depths": [8, 16],
+                    "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "mlp": {"units": [32], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+    }
+    # permute_input False = the torch net consumes channel-first obs
+    # (envpool's stacked-frame layout); our framework is NHWC — build the
+    # torch oracle at (C,H,W), ours at (H,W,C), feed the same data
+    # transposed, and give the importer OUR (H,W,C) shape for the flatten
+    # permutation arithmetic
+    shape = (16, 16, 3)
+    tm = _torch_model(cfg, 5, (3, 16, 16), False, False, seed=51)
+    model, net_params, norm = _ours(cfg, 5, shape, False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], shape,
+    )
+    obs = np.random.default_rng(52).normal(size=(4,) + shape).astype(
+        np.float32
+    )
+    tres = _torch_eval(tm, obs.transpose(0, 3, 1, 2))
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["logits"]),
+        torch.log_softmax(tres["logits"], dim=-1).numpy(), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-4
+    )
