@@ -60,6 +60,12 @@ RUNS = [
     ("walker_run", "rl_games_tpu/configs/ref/dm_control/walker_run.yaml",
      "runs/WalkerRun_envpool/nn/WalkerRun_envpool.ckpt",
      "docs/dmc_walker_run_run.log", ("epoch", 4000), "cpu"),
+    ("ballincup_s23", "benchruns/ballincup_seed23.yaml",
+     "runs/BallInCupCatch_envpool_s23/nn/BallInCupCatch_envpool_s23.ckpt",
+     "docs/dmc_ball_in_cup_seed23_run.log", ("epoch", 4000), "cpu"),
+    ("hopper_s47", "benchruns/hopper_seed47.yaml",
+     "runs/Hopper-v5_envpool_s47/nn/Hopper-v5_envpool_s47.ckpt",
+     "docs/ppo_hopper_envpool_seed47_run.log", ("epoch", 1000), "tpu"),
 ]
 
 MAX_RELAUNCH = 6  # consecutive relaunches WITHOUT progress (crash loop);
