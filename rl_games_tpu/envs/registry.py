@@ -196,6 +196,21 @@ register(
     {"vecenv_type": "JAX", "env_creator": _create_device_pong},
 )
 
+
+def _create_device_breakout(**kwargs):
+    from rl_games_tpu.envs.jax.breakout import DeviceBreakout
+
+    return DeviceBreakout(**kwargs)
+
+
+# the Atari-Breakout-class benchmark env (envs/jax/breakout.py): 6x12
+# brick wall with ALE row scoring, 5 lives, board refill — the second
+# Atari headline row analog (docs/ENVPOOL.md:66)
+register(
+    "DeviceBreakout-v0",
+    {"vecenv_type": "JAX", "env_creator": _create_device_breakout},
+)
+
 # --- named gym-id builtins (the reference's env_configurations table,
 # env_configurations.py:198-331; unknown names also fall back to the
 # GYMNASIUM host bridge, so these rows document the supported zoo) ---
