@@ -24,48 +24,43 @@ LOG = os.path.join(REPO, "benchruns", "babysitter.log")
 MAX_CONCURRENT = 3
 
 # name, config, checkpoint, curve log, completion = (kind, target), platform
-# Round-4 queue (VERDICT.md next-round items 2-5): below-reference rows
-# (BallInCup seeds, Hopper seed), the two missing PPO-MuJoCo rows
-# (Ant-v5, HalfCheetah-v5), 4 more DMC tasks, 2 more SAC-Humanoid seeds.
+# Round-5 queue (VERDICT.md next-round items 1-6): the 5 never-run DMC rows,
+# the WalkerRun rescue seed, a WalkerStand closing seed, 3 pre-registered
+# consecutive SAC-Humanoid seeds (101/102/103), HumanoidRun (100M-frame
+# budget -- runs last; a partial curve is the in-round deliverable).
+# Longest-processing-time-first so the 50M/41M-frame humanoid rows start
+# in the first wave of MAX_CONCURRENT slots.
 RUNS = [
-    ("ballincup_s17", "benchruns/ballincup_seed17.yaml",
-     "runs/BallInCupCatch_envpool_s17/nn/BallInCupCatch_envpool_s17.ckpt",
-     "docs/dmc_ball_in_cup_seed17_run.log", ("epoch", 4000), "cpu"),
-    ("pendulum_swing", "rl_games_tpu/configs/ref/dm_control/pendulum_swingup.yaml",
-     "runs/PendulumSwingup_envpool/nn/PendulumSwingup_envpool.ckpt",
-     "docs/dmc_pendulum_swingup_run.log", ("epoch", 4000), "cpu"),
-    ("ant", "rl_games_tpu/configs/ref/mujoco/ant_envpool.yaml",
-     "runs/Ant-v5_envpool/nn/Ant-v5_envpool.ckpt",
-     "docs/ppo_ant_envpool_run.log", ("epoch", 2000), "tpu"),
-    ("hopper_s31", "benchruns/hopper_seed31.yaml",
-     "runs/Hopper-v5_envpool_s31/nn/Hopper-v5_envpool_s31.ckpt",
-     "docs/ppo_hopper_envpool_seed31_run.log", ("epoch", 1000), "tpu"),
-    ("sac_hum_s23", "benchruns/sac_humanoid_s23.yaml",
-     "runs/Humanoid-v5_SAC_s23/nn/Humanoid-v5_SAC_s23.ckpt",
-     "docs/sac_humanoid_seed23_run.log", ("frames", 1_000_000), "tpu"),
-    ("walker_stand", "rl_games_tpu/configs/ref/dm_control/walker_stand.yaml",
-     "runs/WalkerStand_envpool/nn/WalkerStand_envpool.ckpt",
-     "docs/dmc_walker_stand_run.log", ("epoch", 4000), "cpu"),
-    ("cheetah_run", "rl_games_tpu/configs/ref/dm_control/cheetah_walk.yaml",
-     "runs/CheetahRun_envpool/nn/CheetahRun_envpool.ckpt",
-     "docs/dmc_cheetah_run_run.log", ("epoch", 4000), "cpu"),
-    ("sac_hum_s31", "benchruns/sac_humanoid_s31.yaml",
-     "runs/Humanoid-v5_SAC_s31/nn/Humanoid-v5_SAC_s31.ckpt",
-     "docs/sac_humanoid_seed31_run.log", ("frames", 1_000_000), "tpu"),
-    # resumes the round-3 partial run (epoch ~504, checkpoints under
-    # benchruns/hc from that round's train_dir)
-    ("halfcheetah", "rl_games_tpu/configs/ref/mujoco/halfcheetah_envpool.yaml",
-     "benchruns/hc/HalfCheetah-v5_envpool/nn/HalfCheetah-v5_envpool.ckpt",
-     "docs/ppo_halfcheetah_envpool_run.log", ("epoch", 1000), "tpu"),
-    ("walker_run", "rl_games_tpu/configs/ref/dm_control/walker_run.yaml",
-     "runs/WalkerRun_envpool/nn/WalkerRun_envpool.ckpt",
-     "docs/dmc_walker_run_run.log", ("epoch", 4000), "cpu"),
-    ("ballincup_s23", "benchruns/ballincup_seed23.yaml",
-     "runs/BallInCupCatch_envpool_s23/nn/BallInCupCatch_envpool_s23.ckpt",
-     "docs/dmc_ball_in_cup_seed23_run.log", ("epoch", 4000), "cpu"),
-    ("hopper_s47", "benchruns/hopper_seed47.yaml",
-     "runs/Hopper-v5_envpool_s47/nn/Hopper-v5_envpool_s47.ckpt",
-     "docs/ppo_hopper_envpool_seed47_run.log", ("epoch", 1000), "tpu"),
+    ("humanoid_stand", "rl_games_tpu/configs/ref/dm_control/humanoid_stand.yaml",
+     "runs/HumanoidStand_envpool/nn/HumanoidStand_envpool.ckpt",
+     "docs/dmc_humanoid_stand_run.log", ("frames", 50_000_000), "cpu"),
+    ("humanoid_walk", "rl_games_tpu/configs/ref/dm_control/humanoid_walk.yaml",
+     "runs/HumanoidWalk_envpool/nn/HumanoidWalk_envpool.ckpt",
+     "docs/dmc_humanoid_walk_run.log", ("epoch", 5000), "cpu"),
+    ("walker_run_s11", "benchruns/walker_run_seed11.yaml",
+     "runs/WalkerRun_envpool_s11/nn/WalkerRun_envpool_s11.ckpt",
+     "docs/dmc_walker_run_seed11_run.log", ("epoch", 5000), "cpu"),
+    ("fish_swim", "rl_games_tpu/configs/ref/dm_control/fish_swim.yaml",
+     "runs/FishSwim_envpool/nn/FishSwim_envpool.ckpt",
+     "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
+    ("hopper_stand", "rl_games_tpu/configs/ref/dm_control/hopper_stand.yaml",
+     "runs/HopperStand_envpool/nn/HopperStand_envpool.ckpt",
+     "docs/dmc_hopper_stand_run.log", ("epoch", 4000), "cpu"),
+    ("walker_stand_s11", "benchruns/walker_stand_seed11.yaml",
+     "runs/WalkerStand_envpool_s11/nn/WalkerStand_envpool_s11.ckpt",
+     "docs/dmc_walker_stand_seed11_run.log", ("epoch", 4000), "cpu"),
+    ("sac_hum_s101", "benchruns/sac_humanoid_s101.yaml",
+     "runs/Humanoid-v5_SAC_s101/nn/Humanoid-v5_SAC_s101.ckpt",
+     "docs/sac_humanoid_seed101_run.log", ("frames", 1_000_000), "tpu"),
+    ("sac_hum_s102", "benchruns/sac_humanoid_s102.yaml",
+     "runs/Humanoid-v5_SAC_s102/nn/Humanoid-v5_SAC_s102.ckpt",
+     "docs/sac_humanoid_seed102_run.log", ("frames", 1_000_000), "tpu"),
+    ("sac_hum_s103", "benchruns/sac_humanoid_s103.yaml",
+     "runs/Humanoid-v5_SAC_s103/nn/Humanoid-v5_SAC_s103.ckpt",
+     "docs/sac_humanoid_seed103_run.log", ("frames", 1_000_000), "tpu"),
+    ("humanoid_run", "rl_games_tpu/configs/ref/dm_control/humanoid_run.yaml",
+     "runs/HumanoidRun_envpool/nn/HumanoidRun_envpool.ckpt",
+     "docs/dmc_humanoid_run_run.log", ("frames", 100_000_000), "cpu"),
 ]
 
 MAX_RELAUNCH = 6  # consecutive relaunches WITHOUT progress (crash loop);
