@@ -21,7 +21,8 @@ import time
 
 REPO = "/root/repo"
 LOG = os.path.join(REPO, "benchruns", "babysitter.log")
-MAX_CONCURRENT = 3
+MAX_CONCURRENT = 3      # cpu lane: host-stepping-bound runs (4 cores)
+MAX_TPU_CONCURRENT = 2  # tpu lane: relay-bound runs, little host CPU
 
 # name, config, checkpoint, curve log, completion = (kind, target), platform
 # Round-5 queue (VERDICT.md next-round items 1-6): the 5 never-run DMC rows,
@@ -31,22 +32,22 @@ MAX_CONCURRENT = 3
 # Longest-processing-time-first so the 50M/41M-frame humanoid rows start
 # in the first wave of MAX_CONCURRENT slots.
 RUNS = [
-    ("humanoid_stand", "rl_games_tpu/configs/ref/dm_control/humanoid_stand.yaml",
+    ("humanoid_stand", "benchruns/humanoid_stand_rowstop.yaml",
      "runs/HumanoidStand_envpool/nn/HumanoidStand_envpool.ckpt",
      "docs/dmc_humanoid_stand_run.log", ("frames", 50_000_000), "cpu"),
-    ("humanoid_walk", "rl_games_tpu/configs/ref/dm_control/humanoid_walk.yaml",
+    ("humanoid_walk", "benchruns/humanoid_walk_rowstop.yaml",
      "runs/HumanoidWalk_envpool/nn/HumanoidWalk_envpool.ckpt",
      "docs/dmc_humanoid_walk_run.log", ("epoch", 5000), "cpu"),
-    ("walker_run_s11", "benchruns/walker_run_seed11.yaml",
+    ("walker_run_s11", "benchruns/walker_run_seed11_rowstop.yaml",
      "runs/WalkerRun_envpool_s11/nn/WalkerRun_envpool_s11.ckpt",
      "docs/dmc_walker_run_seed11_run.log", ("epoch", 5000), "cpu"),
-    ("fish_swim", "rl_games_tpu/configs/ref/dm_control/fish_swim.yaml",
+    ("fish_swim", "benchruns/fish_swim_rowstop.yaml",
      "runs/FishSwim_envpool/nn/FishSwim_envpool.ckpt",
      "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
-    ("hopper_stand", "rl_games_tpu/configs/ref/dm_control/hopper_stand.yaml",
+    ("hopper_stand", "benchruns/hopper_stand_rowstop.yaml",
      "runs/HopperStand_envpool/nn/HopperStand_envpool.ckpt",
      "docs/dmc_hopper_stand_run.log", ("epoch", 4000), "cpu"),
-    ("walker_stand_s11", "benchruns/walker_stand_seed11.yaml",
+    ("walker_stand_s11", "benchruns/walker_stand_seed11_rowstop.yaml",
      "runs/WalkerStand_envpool_s11/nn/WalkerStand_envpool_s11.ckpt",
      "docs/dmc_walker_stand_seed11_run.log", ("epoch", 4000), "cpu"),
     ("sac_hum_s101", "benchruns/sac_humanoid_s101.yaml",
@@ -58,7 +59,7 @@ RUNS = [
     ("sac_hum_s103", "benchruns/sac_humanoid_s103.yaml",
      "runs/Humanoid-v5_SAC_s103/nn/Humanoid-v5_SAC_s103.ckpt",
      "docs/sac_humanoid_seed103_run.log", ("frames", 1_000_000), "tpu"),
-    ("humanoid_run", "rl_games_tpu/configs/ref/dm_control/humanoid_run.yaml",
+    ("humanoid_run", "benchruns/humanoid_run_rowstop.yaml",
      "runs/HumanoidRun_envpool/nn/HumanoidRun_envpool.ckpt",
      "docs/dmc_humanoid_run_run.log", ("frames", 100_000_000), "cpu"),
 ]
@@ -74,14 +75,18 @@ def note(msg):
         f.write(f"{time.strftime('%F %T')} {msg}\n")
 
 
-def last_progress(log_path, kind):
-    """Latest epoch or frames figure in the curve log."""
+def last_progress(log_path, kind, target=None):
+    """Latest epoch or frames figure in the curve log; a score_to_win stop
+    ("Network won!" -- the row-stop configs set score_to_win at ~110% of the
+    published row) counts as reaching the target."""
     try:
         with open(log_path, "rb") as f:
             f.seek(max(0, os.path.getsize(log_path) - 65536))
             tail = f.read().decode(errors="replace")
     except OSError:
         return 0
+    if target is not None and "Network won!" in tail:
+        return target
     pat = r"epoch:\s*(\d+)" if kind == "epoch" else r"frames:\s*(\d+)"
     hits = re.findall(pat, tail)
     return int(hits[-1]) if hits else 0
@@ -152,15 +157,19 @@ def main():
         pending = 0
         # full pass first: count every live run before any launch decision,
         # or late-listed live runs would not count against the cap
-        running = sum(1 for _, cfg, *_ in RUNS if alive(cfg))
+        running = {p: 0 for p in ("cpu", "tpu")}
+        for _, cfg, _, _, _, p in RUNS:
+            if alive(cfg):
+                running[p] += 1
+        caps = {"cpu": MAX_CONCURRENT, "tpu": MAX_TPU_CONCURRENT}
         for name, cfg, ckpt, log_path, (kind, target), platform in RUNS:
-            prog = last_progress(os.path.join(REPO, log_path), kind)
+            prog = last_progress(os.path.join(REPO, log_path), kind, target)
             if prog >= target:
                 continue
             pending += 1
             if alive(cfg):
                 continue
-            if running >= MAX_CONCURRENT:
+            if running[platform] >= caps[platform]:
                 continue
             if prog > progress_at_relaunch[name]:
                 relaunches[name] = 0  # it advanced: not a crash loop
@@ -170,7 +179,7 @@ def main():
             relaunches[name] += 1
             progress_at_relaunch[name] = prog
             relaunch(name, cfg, ckpt, log_path, platform)
-            running += 1
+            running[platform] += 1
         if pending == 0:
             note("all runs complete; exiting")
             return
