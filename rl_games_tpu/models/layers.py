@@ -397,23 +397,77 @@ class SpatialAttention(nn.Module):
         return jax.nn.sigmoid(g)
 
 
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d analog with FROZEN statistics (network_builder.py
+    ConvBlock :599-611 pairs Conv2dAuto with nn.BatchNorm2d).
+
+    mean/var live in params but are stop_gradient'ed, so Adam never moves
+    them (zero gradient -> zero update): imported torch running stats give
+    exact eval parity, and continued training fine-tunes scale/bias around
+    the frozen stats. Documented deviation from torch's train mode (which
+    normalizes by minibatch stats and updates the running buffers) — true
+    batch statistics would thread cross-batch mutable state through the
+    jitted epoch, which the pure-functional TPU design deliberately
+    avoids. Fresh (non-imported) training starts at mean 0 / var 1, i.e.
+    a fixed affine transform."""
+
+    channels: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", jax.nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.channels,))
+        mean = self.param("mean", jax.nn.initializers.zeros, (self.channels,))
+        var = self.param("var", jax.nn.initializers.ones, (self.channels,))
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x - mean) * inv + bias
+
+
+class ImpalaConvBlock(nn.Module):
+    """ConvBlock (network_builder.py:599-611): 3x3 conv, stride 1; with
+    use_bn the conv drops its bias and a (frozen-stats) BatchNorm
+    follows."""
+
+    channels: int
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.channels, (3, 3), padding="SAME", use_bias=not self.use_bn
+        )(x)
+        if self.use_bn:
+            x = FrozenBatchNorm(self.channels)(x)
+        return x
+
+
 class ImpalaResidualBlock(nn.Module):
     """network_builder.py:643-672; optional SE-style channel + spatial
-    attention gates (use_attention)."""
+    attention gates (use_attention), optional batch-norm conv blocks
+    (use_bn) and zero-initialized residual scaling (use_zero_init:
+    ``x*alpha + residual`` with a learnable scalar alpha starting at 0)."""
 
     channels: int
     use_attention: bool = False
+    use_bn: bool = False
+    use_zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
         x = jax.nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = ImpalaConvBlock(self.channels, self.use_bn)(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = ImpalaConvBlock(self.channels, self.use_bn)(x)
         if self.use_attention:
             x = ChannelAttention(self.channels)(x) * x
             x = SpatialAttention()(x) * x
+        if self.use_zero_init:
+            alpha = self.param("alpha", jax.nn.initializers.zeros, (1,))
+            return x * alpha + residual
         return x + residual
 
 
@@ -422,26 +476,41 @@ class ImpalaSequential(nn.Module):
 
     channels: int
     use_attention: bool = False
+    use_bn: bool = False
+    use_zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.channels, (3, 3), padding="SAME")(x)
+        x = ImpalaConvBlock(self.channels, self.use_bn)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = ImpalaResidualBlock(self.channels, self.use_attention)(x)
-        x = ImpalaResidualBlock(self.channels, self.use_attention)(x)
+        x = ImpalaResidualBlock(
+            self.channels, self.use_attention, self.use_bn, self.use_zero_init
+        )(x)
+        x = ImpalaResidualBlock(
+            self.channels, self.use_attention, self.use_bn, self.use_zero_init
+        )(x)
         return x
 
 
 class ImpalaCNN(nn.Module):
-    """Impala tower from a `conv_depths` config (network_builder.py:714-727)."""
+    """Impala tower from a `conv_depths` config (network_builder.py:714-727).
+
+    use_bn/use_zero_init mirror the reference's library-level ResidualBlock
+    options (:643-672) that its YAML builder leaves at their defaults —
+    exposed here as cnn-config extensions so checkpoints of hand-built
+    reference variants import cleanly."""
 
     conv_depths: Sequence[int]
     use_attention: bool = False
+    use_bn: bool = False
+    use_zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         for depth in self.conv_depths:
-            x = ImpalaSequential(depth, self.use_attention)(x)
+            x = ImpalaSequential(
+                depth, self.use_attention, self.use_bn, self.use_zero_init
+            )(x)
         x = jax.nn.relu(x)
         return x.reshape(x.shape[0], -1)
 

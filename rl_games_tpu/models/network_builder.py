@@ -137,6 +137,8 @@ class A2CNetwork(nn.Module):
                 return L.ImpalaCNN(
                     tuple(cnn["conv_depths"]),
                     use_attention=cnn.get("use_attention", False),
+                    use_bn=cnn.get("use_bn", False),
+                    use_zero_init=cnn.get("use_zero_init", False),
                     name=name,
                 )
             return L.CNN(

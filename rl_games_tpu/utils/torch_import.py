@@ -150,10 +150,18 @@ class _TorchSide:
 
 def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
     rnn_cfg = network_cfg.get("rnn") or {}
-    if rnn_cfg.get("concat_input") or rnn_cfg.get("concat_output"):
+    if (
+        rnn_cfg.get("concat_input") or rnn_cfg.get("concat_output")
+    ) and network_cfg.get("cnn"):
+        # with a conv torso the concat wirings splice FLATTENED conv
+        # columns into the rnn-input / head-input matrices, so the
+        # NCHW->NHWC permutation would apply to a column SLICE of those
+        # kernels — refuse rather than silently mis-permute (no reference
+        # config pairs a cnn with the concat wirings)
         raise NotImplementedError(
-            "rnn concat_input/concat_output wirings are not covered by "
-            "the torch-checkpoint importer"
+            "rnn concat_input/concat_output on a conv torso is not covered "
+            "by the torch-checkpoint importer (flatten permutation would "
+            "straddle the concat columns)"
         )
     if network_cfg.get("mlp", {}).get("d2rl") and network_cfg.get("cnn"):
         raise NotImplementedError(
@@ -161,21 +169,36 @@ def _check_unsupported(sd: Dict[str, np.ndarray], network_cfg: dict):
             "torch-checkpoint importer: the NCHW->NHWC flatten permutation "
             "would also apply to every layer's skip-concat input columns"
         )
-    if network_cfg.get("normalization"):
-        # a normalized torso's Sequential interleaves LayerNorm/BatchNorm
-        # .weight entries with the Linear ones, which would zip against the
-        # wrong flax modules — refuse clearly instead of mis-pairing
+    if network_cfg.get("normalization") == "batch_norm":
+        # torch BatchNorm1d trains on minibatch stats; this framework's
+        # torso stand-in is layer-norm semantics (models/layers.py MLP),
+        # so the imported weights would compute a different function —
+        # refuse clearly (no shipped reference config uses batch_norm)
         raise NotImplementedError(
-            "normalized torsos (network.normalization: "
-            f"{network_cfg['normalization']!r}) are not covered by the "
+            "batch_norm-normalized torsos are not covered by the "
+            "torch-checkpoint importer (layer_norm torsos are)"
+        )
+    if network_cfg.get("normalization") and network_cfg.get("mlp", {}).get(
+        "d2rl"
+    ):
+        raise NotImplementedError(
+            "normalized d2rl torsos are not covered by the "
             "torch-checkpoint importer"
         )
     if network_cfg.get("cnn", {}).get("type") == "impala":
+        cnn_cfg = network_cfg["cnn"]
         for k in sd:
-            if ".alpha" in k or ".bn." in k:
+            if k.endswith(".alpha") and not cnn_cfg.get("use_zero_init"):
                 raise NotImplementedError(
-                    "impala towers with use_zero_init/use_bn are not "
-                    f"covered by the torch-checkpoint importer (found {k})"
+                    f"checkpoint carries zero-init residual scalars ({k}) "
+                    "— set cnn.use_zero_init: True in the network config "
+                    "to import it"
+                )
+            if ".bn." in k and not cnn_cfg.get("use_bn"):
+                raise NotImplementedError(
+                    f"checkpoint carries impala batch-norm tensors ({k}) "
+                    "— set cnn.use_bn: True in the network config to "
+                    "import it"
                 )
 
 
@@ -255,15 +278,35 @@ def convert_a2c_state_dict(
             alt = prefix.replace("actor_", "", 1)
             if any(k.startswith(f"a2c_network.{alt}.") for k in src.sd):
                 prefix = alt
-        layers = src.seq_layers(prefix)
+        all_layers = src.seq_layers(prefix)
+        # a normalized torso's Sequential interleaves LayerNorm entries
+        # (1-D weight) with the Linear ones (2-D weight); split them and
+        # pair each kind with its flax modules in order
+        # (_build_sequential_mlp, reference network_builder.py:105-130:
+        # Linear -> act -> LayerNorm per unit)
+        layers = [(w, b) for w, b in all_layers if w.ndim == 2]
+        norms = [(w, b) for w, b in all_layers if w.ndim == 1]
         dense_names = sorted(
-            body[name], key=lambda s: int(s.rsplit("_", 1)[1])
+            (k for k in body[name] if k.startswith("Dense_")),
+            key=lambda s: int(s.rsplit("_", 1)[1]),
+        )
+        ln_names = sorted(
+            (k for k in body[name] if k.startswith("LayerNorm_")),
+            key=lambda s: int(s.rsplit("_", 1)[1]),
         )
         if len(layers) != len(dense_names):
             raise ValueError(
                 f"{name}: torch checkpoint has {len(layers)} Linear layers, "
                 f"model expects {len(dense_names)}"
             )
+        if len(norms) != len(ln_names):
+            raise ValueError(
+                f"{name}: torch checkpoint has {len(norms)} LayerNorm "
+                f"layers, model expects {len(ln_names)}"
+            )
+        for ln, (wt, bs) in zip(ln_names, norms):
+            _assign(body, (name, ln, "scale"), wt)
+            _assign(body, (name, ln, "bias"), bs)
         for i, (dn, (wt, bs)) in enumerate(zip(dense_names, layers)):
             # the first Linear after a conv stack consumes flattened
             # activations -> needs the NCHW->NHWC column permutation
@@ -357,28 +400,48 @@ def convert_a2c_state_dict(
     def fill_impala(name: str, torch_mod: str):
         """Impala tower (A2CResnetBuilder `cnn`, network_builder.py
         ImpalaSequential :675-688): per stage, the downsampling ConvBlock
-        + 2 residual blocks × 2 ConvBlocks — all plain Conv2d → flax Conv
-        transposes. use_bn/use_zero_init variants are rejected in
-        _check_unsupported."""
+        + 2 residual blocks × 2 ConvBlocks. With use_bn each ConvBlock's
+        Conv2d drops its bias and a BatchNorm2d follows (:599-611) →
+        FrozenBatchNorm params (running stats land in mean/var; torch's
+        num_batches_tracked counter has no analog and is consumed); with
+        use_zero_init each residual block carries an `alpha` scalar
+        (:648-649) → the block's `alpha` param."""
         if name not in body:
             return
+        use_bn = bool(cnn_cfg.get("use_bn"))
+        use_zero_init = bool(cnn_cfg.get("use_zero_init"))
         stages = [k for k in body[name] if k.startswith("ImpalaSequential_")]
 
-        def conv(path, tconv):
-            _assign(body, path + ("kernel",),
-                    src.take(tconv + ".weight").transpose(2, 3, 1, 0))
-            _assign(body, path + ("bias",), src.take(tconv + ".bias"))
+        def conv_block(path, tblock):
+            """flax <name>/.../ImpalaConvBlock_j <- torch ConvBlock."""
+            _assign(body, path + ("Conv_0", "kernel"),
+                    src.take(tblock + ".conv.weight").transpose(2, 3, 1, 0))
+            if use_bn:
+                bn = path + ("FrozenBatchNorm_0",)
+                _assign(body, bn + ("scale",), src.take(tblock + ".bn.weight"))
+                _assign(body, bn + ("bias",), src.take(tblock + ".bn.bias"))
+                _assign(body, bn + ("mean",),
+                        src.take(tblock + ".bn.running_mean"))
+                _assign(body, bn + ("var",),
+                        src.take(tblock + ".bn.running_var"))
+                src.take(tblock + ".bn.num_batches_tracked")
+            else:
+                _assign(body, path + ("Conv_0", "bias"),
+                        src.take(tblock + ".conv.bias"))
 
         for i in range(len(stages)):
             stage = (name, f"ImpalaSequential_{i}")
             tmod = f"{torch_mod}.{i}"
-            conv(stage + ("Conv_0",), f"{tmod}.conv.conv")
+            conv_block(stage + ("ImpalaConvBlock_0",), f"{tmod}.conv")
             for rb, tb in ((0, "res_block1"), (1, "res_block2")):
+                block = stage + (f"ImpalaResidualBlock_{rb}",)
                 for cj, tc in ((0, "conv1"), (1, "conv2")):
-                    conv(
-                        stage + (f"ImpalaResidualBlock_{rb}", f"Conv_{cj}"),
-                        f"{tmod}.{tb}.{tc}.conv",
+                    conv_block(
+                        block + (f"ImpalaConvBlock_{cj}",), f"{tmod}.{tb}.{tc}"
                     )
+                if use_zero_init:
+                    _assign(body, block + ("alpha",),
+                            src.take(f"{tmod}.{tb}.alpha"))
 
     if cnn_cfg.get("type") == "impala":
         fill_impala("actor_cnn", "a2c_network.cnn")

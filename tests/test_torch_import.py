@@ -753,3 +753,180 @@ def test_import_impala_resnet():
     np.testing.assert_allclose(
         np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-4
     )
+
+
+def _continuous_space():
+    return {"continuous": {
+        "mu_activation": "None", "sigma_activation": "None",
+        "mu_init": {"name": "default"},
+        "sigma_init": {"name": "const_initializer", "val": 0.0},
+        "fixed_sigma": True}}
+
+
+def test_import_normalized_torso_layer_norm():
+    """Normalized mlp torso (network.normalization: layer_norm): the torch
+    Sequential interleaves LayerNorm entries with the Linears
+    (_build_sequential_mlp, reference network_builder.py:105-130) — the
+    importer splits them by weight rank and pairs each kind in order."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "normalization": "layer_norm",
+            "mlp": {"units": [24, 16], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "space": _continuous_space(),
+        },
+    }
+    tm = _torch_model(cfg, 3, (7,), False, False, seed=61)
+    # make the LayerNorm affine params non-trivial so the import is visible
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.LayerNorm):
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.3, 0.3)
+    model, net_params, norm = _ours(cfg, 3, (7,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (7,),
+    )
+    obs = np.random.default_rng(62).normal(size=(5, 7)).astype(np.float32)
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["mus"]), tres["mus"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=2e-5)
+
+
+def test_import_normalized_torso_first_layer_only():
+    """norm_only_first_layer: exactly one LayerNorm (after the first
+    Linear) on both sides; separate trunks exercise actor+critic mlps."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": True,
+            "normalization": "layer_norm",
+            "mlp": {"units": [24, 16], "activation": "relu",
+                    "norm_only_first_layer": True,
+                    "initializer": {"name": "default"}},
+            "space": _continuous_space(),
+        },
+    }
+    tm = _torch_model(cfg, 2, (6,), False, False, seed=63)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.LayerNorm):
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.3, 0.3)
+    model, net_params, norm = _ours(cfg, 2, (6,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (6,),
+    )
+    obs = np.random.default_rng(64).normal(size=(4, 6)).astype(np.float32)
+    tres = _torch_eval(tm, obs)
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["mus"]), tres["mus"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=2e-5)
+
+
+def test_import_rnn_concat_input_and_output():
+    """rnn concat_input + concat_output on an mlp torso (reference
+    network_builder.py:455-457, 484-485: rnn eats cat[mlp_out, obs], the
+    heads eat cat[rnn_out, obs]): no new tensors, but every rnn input
+    kernel and head kernel widens — import + multi-step parity."""
+    cfg = {
+        "model": {"name": "continuous_a2c_logstd"},
+        "network": {
+            "name": "actor_critic", "separate": False,
+            "mlp": {"units": [24], "activation": "elu",
+                    "initializer": {"name": "default"}},
+            "rnn": {"name": "lstm", "units": 16, "layers": 1,
+                    "concat_input": True, "concat_output": True},
+            "space": _continuous_space(),
+        },
+    }
+    tm = _torch_model(cfg, 3, (6,), False, False, seed=65)
+    model, net_params, norm = _ours(cfg, 3, (6,), False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], (6,),
+    )
+    _rnn_parity_roll(tm, model, new_params, new_norm, (6,), 3,
+                     "lstm", layers=1, units=16)
+
+
+def test_import_impala_bn_zero_init(monkeypatch):
+    """Impala tower with use_bn + use_zero_init (the reference's
+    library-level ResidualBlock options, network_builder.py:599-611,
+    :643-672 — its YAML builder leaves them at defaults, so the oracle
+    patches _build_impala to enable them): BatchNorm2d running stats land
+    in FrozenBatchNorm mean/var, the conv biases disappear, and each
+    residual block's alpha scalar imports."""
+    from rl_games.algos_torch import network_builder as ref_nb
+
+    def _build_impala_bn(self, input_shape, depths):
+        in_channels = input_shape[0]
+        layers = torch.nn.ModuleList()
+        for d in depths:
+            layers.append(ref_nb.ImpalaSequential(
+                in_channels, d, use_bn=True, use_zero_init=True))
+            in_channels = d
+        return torch.nn.Sequential(*layers)
+
+    monkeypatch.setattr(
+        ref_nb.A2CResnetBuilder.Network, "_build_impala", _build_impala_bn
+    )
+    cfg = {
+        "model": {"name": "discrete_a2c"},
+        "network": {
+            "name": "resnet_actor_critic", "separate": False,
+            "cnn": {"permute_input": False, "conv_depths": [8, 16],
+                    "activation": "relu", "use_bn": True,
+                    "use_zero_init": True,
+                    "initializer": {"name": "default"}},
+            "mlp": {"units": [32], "activation": "relu",
+                    "initializer": {"name": "default"}},
+            "space": {"discrete": {}},
+        },
+    }
+    shape = (16, 16, 3)
+    tm = _torch_model(cfg, 5, (3, 16, 16), False, False, seed=66)
+    # non-trivial running stats + alphas so frozen-stats parity is visible
+    gen = torch.Generator().manual_seed(67)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.5, generator=gen)
+                mod.running_var.uniform_(0.5, 2.0, generator=gen)
+            if isinstance(mod, ref_nb.ResidualBlock):
+                mod.alpha.uniform_(0.3, 0.9, generator=gen)
+    model, net_params, norm = _ours(cfg, 5, shape, False, False)
+    new_params, new_norm = convert_a2c_state_dict(
+        flatten_state_dict(tm.state_dict()), net_params, norm,
+        cfg["network"], shape,
+    )
+    obs = np.random.default_rng(68).normal(size=(4,) + shape).astype(
+        np.float32
+    )
+    tres = _torch_eval(tm, obs.transpose(0, 3, 1, 2))
+    ours = model.forward_play(
+        new_params, new_norm, jax.random.PRNGKey(1), jnp.asarray(obs),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["logits"]),
+        torch.log_softmax(tres["logits"], dim=-1).numpy(), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["values"]), tres["values"].numpy(), atol=1e-4
+    )
