@@ -76,6 +76,11 @@ class BasePlayer:
             _, obs = self.vec_env.reset(rng)
         example = self._actor_obs(obs)
         self.net_params, self.norm = self.model.init(rng, example)
+        # self-play device envs late-bind the opponent-seat architecture
+        # (envs/jax/selfplay.py bind_policy) — mirror the trainer's wiring
+        # (algos/ppo.py:316-317) so --play works on self-play envs
+        if hasattr(self.vec_env, "bind_policy"):
+            self.vec_env.bind_policy(self.model)
 
     def restore(self, checkpoint_path: str):
         """players.py:71-79 — load model weights from a training checkpoint.
@@ -263,6 +268,13 @@ class BasePlayer:
         rng = jax.random.PRNGKey(self.seed + 1)
         rng, ekey = jax.random.split(rng)
         env_state, obs = self.vec_env.reset(ekey)
+        if hasattr(self.vec_env, "init_opponent"):
+            # self-play eval defaults to a mirror match: the restored
+            # checkpoint fills every opponent seat (the trainer's env_state
+            # carries trained opponents; a fresh player env has none)
+            env_state = self.vec_env.init_opponent(
+                env_state, {"params": self.net_params, "norm": self.norm}
+            )
         n = self.num_actors
         meters = meters_init(max(games_num, 1), self.value_size)
 

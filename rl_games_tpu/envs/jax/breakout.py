@@ -178,12 +178,21 @@ class DeviceBreakout(JaxEnv):
         """frame_skip physics substeps per decision (MaxAndSkipEnv);
         rewards accumulate, termination latches (pong.py:step)."""
         keys = jax.random.split(key, self.frame_skip)
+        # frame-stack channel 1 = entity positions the policy saw last
+        # decision; its lives/score status-strip pixels render CURRENT
+        # values (static within a decision — intentional, learning-neutral)
         prev = (s.ball_x, s.ball_y, s.paddle_x, s.bricks)
         reward = jnp.float32(0.0)
         terminated = jnp.bool_(False)
         for i in range(self.frame_skip):
-            s, r, t = self._substep(s, action, keys[i])
-            reward = reward + r
+            s2, r, t = self._substep(s, action, keys[i])
+            # post-terminal substeps are frozen (no state integration, no
+            # reward): the no-post-terminal-reward invariant is structural,
+            # not dependent on serve geometry (round-4 advisory)
+            s = jax.tree.map(
+                lambda new, old: jnp.where(terminated, old, new), s2, s
+            )
+            reward = reward + jnp.where(terminated, 0.0, r)
             terminated = terminated | t
         s = s.replace(prev_bx=prev[0], prev_by=prev[1], prev_px=prev[2],
                       prev_bricks=prev[3])

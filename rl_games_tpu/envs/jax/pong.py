@@ -206,12 +206,21 @@ class DevicePong(JaxEnv):
         key per substep keeps re-serves independent."""
         keys = jax.random.split(key, self.frame_skip)
         # frame-stack channel 1 = the frame the policy saw last decision
+        # (entity positions only: the score-bar pixels of that channel
+        # render CURRENT scores — status strips are static within a
+        # decision, so the fidelity gap vs an immutable FrameStack is nil)
         prev = (s.ball_x, s.ball_y, s.agent_y, s.opp_y)
         reward = jnp.float32(0.0)
         terminated = jnp.bool_(False)
         for i in range(self.frame_skip):
-            s, r, t = self._substep(s, action, keys[i])
-            reward = reward + r
+            s2, r, t = self._substep(s, action, keys[i])
+            # post-terminal substeps are frozen (no state integration, no
+            # reward): the no-post-terminal-reward invariant is structural,
+            # not dependent on serve geometry (round-4 advisory)
+            s = jax.tree.map(
+                lambda new, old: jnp.where(terminated, old, new), s2, s
+            )
+            reward = reward + jnp.where(terminated, 0.0, r)
             terminated = terminated | t
         s = s.replace(prev_bx=prev[0], prev_by=prev[1],
                       prev_ay=prev[2], prev_oy=prev[3])
