@@ -38,9 +38,6 @@ RUNS = [
     ("humanoid_walk", "benchruns/humanoid_walk_rowstop.yaml",
      "runs/HumanoidWalk_envpool/nn/HumanoidWalk_envpool.ckpt",
      "docs/dmc_humanoid_walk_run.log", ("epoch", 5000), "cpu"),
-    ("walker_run_s11", "benchruns/walker_run_seed11_rowstop.yaml",
-     "runs/WalkerRun_envpool_s11/nn/WalkerRun_envpool_s11.ckpt",
-     "docs/dmc_walker_run_seed11_run.log", ("epoch", 5000), "cpu"),
     ("fish_swim", "benchruns/fish_swim_rowstop.yaml",
      "runs/FishSwim_envpool/nn/FishSwim_envpool.ckpt",
      "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
