@@ -218,6 +218,19 @@ class SACAgent:
         # only ever arises on resume from a replay-stripped checkpoint,
         # where updating against a handful of fresh rows corrupts the critic
         self.replay_min_fill = min(self.batch_size, self.replay_buffer_size)
+        # after a replay-STRIPPED resume the one-batch floor above is not
+        # enough: resuming UTD updates against a few hundred fresh,
+        # correlated rows corrupts the critic (observed live: a 5.3k-reward
+        # Humanoid seed collapsed to ~1.1k after a mid-run resume). On such
+        # resumes the gate is raised to 5% of the ring (configurable) so
+        # the buffer re-fills with on-policy data from the restored actor
+        # before updating resumes; frames keep counting, so the budget
+        # stays honest. Fresh runs are unaffected (reference parity).
+        self.replay_resume_min_fill = int(config.get(
+            "replay_resume_min_fill",
+            max(self.replay_min_fill, self.replay_buffer_size // 20),
+        ))
+        self._update_min_fill = self.replay_min_fill
         # full replay buffer in checkpoints is opt-in (the reference stores
         # it optionally, sac_agent.py:312-313; it is multi-GB for MuJoCo
         # obs dims and dominates checkpoint time when on)
@@ -559,7 +572,7 @@ class SACAgent:
                 return state, _zero_metrics(), jnp.zeros(())
 
             can_update = (~warmup) & (
-                replay_size(state.replay) >= self.replay_min_fill
+                replay_size(state.replay) >= self._update_min_fill
             )
             state, step_sums, step_n = jax.lax.cond(
                 can_update, do_updates, no_updates, state
@@ -702,7 +715,7 @@ class SACAgent:
                 )
 
             can_update = (~warmup) & (
-                replay_size(state.replay) >= self.replay_min_fill
+                replay_size(state.replay) >= self._update_min_fill
             )
             state, step_sums, step_n = jax.lax.cond(
                 can_update, do_updates,
@@ -912,9 +925,14 @@ class SACAgent:
         meta = payload.get("meta", {})
         if meta.get("has_replay", True):
             return ckpt.load_checkpoint(checkpoint, state, payload=payload)
-        # replay was stripped at save time: restore everything else and keep
-        # the fresh (empty) buffer — the replay_min_fill gate below pauses
-        # UTD updates until one full batch of real rows has been re-collected
+        # replay was stripped at save time: restore everything else and
+        # keep the fresh (empty) buffer — and raise the update gate to
+        # replay_resume_min_fill so UTD updates stay paused until the ring
+        # re-fills with enough on-policy rows from the restored actor
+        # (updating after one batch corrupts the critic; see __init__)
+        self._update_min_fill = min(
+            self.replay_resume_min_fill, self.replay_buffer_size
+        )
         stripped = state.replace(
             replay=replay_init(1, self.obs_shape, self.action_dim)
         )

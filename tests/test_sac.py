@@ -276,3 +276,60 @@ def test_epoch_metrics_are_epoch_means():
     for _ in range(3):
         s2, m2 = fn2(s2)
     assert int(m2["actor_updated"]) == 32
+
+
+def test_stripped_resume_raises_update_gate(tmp_path):
+    """Resume from a replay-stripped checkpoint must NOT resume UTD
+    updates after one batch of fresh rows — the raised
+    replay_resume_min_fill gate keeps updates paused until the ring
+    re-fills (a mid-run Humanoid resume that updated immediately
+    collapsed 5.3k reward to ~1.1k; algos/sac.py _restore)."""
+    from rl_games_tpu.utils import checkpoint as ckpt
+
+    cfg = small_cfg(num_warmup_steps=1, replay_buffer_size=1000,
+                    batch_size=32)
+    agent = SACAgent("t", cfg["params"])
+    state = agent.init_state()
+    fn = agent.make_train_fn()
+    for _ in range(4):
+        state, m = fn(state)
+    assert int(state.update_counter) > 0  # trained past warmup
+    path = str(tmp_path / "sac_stripped.ckpt")
+    ckpt.save_checkpoint(
+        path, agent._ckpt_state(state),
+        meta={"epoch": int(state.epoch), "frame": int(state.frame),
+              "has_replay": agent.save_replay_buffer},
+        weights=agent.get_weights(state),
+    )
+
+    fresh = SACAgent("t2", cfg["params"])
+    assert fresh._update_min_fill == fresh.replay_min_fill
+    restored, _ = fresh._restore(path, fresh.init_state())
+    # gate raised to the resume floor (5% of ring, >= one batch)
+    assert fresh._update_min_fill == min(
+        fresh.replay_resume_min_fill, fresh.replay_buffer_size
+    )
+    assert fresh._update_min_fill >= fresh.replay_min_fill
+    # replay came back EMPTY (stripped), counters restored
+    assert int(replay_size(restored.replay)) == 0
+    assert int(restored.epoch) == int(state.epoch)
+
+    # updates stay paused during the refill window even though
+    # epoch > warmup and one batch of rows lands immediately
+    fn2 = fresh.make_train_fn()
+    before = int(restored.update_counter)
+    restored, m = fn2(restored)
+    rows = int(replay_size(restored.replay))
+    assert rows < fresh._update_min_fill  # still refilling
+    assert int(restored.update_counter) == before  # no updates ran
+    # ... and resume once the ring crosses the raised floor
+    while int(replay_size(restored.replay)) < fresh._update_min_fill:
+        restored, m = fn2(restored)
+    restored, m = fn2(restored)
+    assert int(restored.update_counter) > before
+
+
+def test_resume_min_fill_config_override():
+    cfg = small_cfg(replay_resume_min_fill=64, replay_buffer_size=1000)
+    agent = SACAgent("t", cfg["params"])
+    assert agent.replay_resume_min_fill == 64
