@@ -32,12 +32,6 @@ MAX_TPU_CONCURRENT = 2  # tpu lane: relay-bound runs, little host CPU
 # Longest-processing-time-first so the 50M/41M-frame humanoid rows start
 # in the first wave of MAX_CONCURRENT slots.
 RUNS = [
-    ("humanoid_stand", "benchruns/humanoid_stand_rowstop.yaml",
-     "runs/HumanoidStand_envpool/nn/HumanoidStand_envpool.ckpt",
-     "docs/dmc_humanoid_stand_run.log", ("frames", 50_000_000), "cpu"),
-    ("humanoid_walk", "benchruns/humanoid_walk_rowstop.yaml",
-     "runs/HumanoidWalk_envpool/nn/HumanoidWalk_envpool.ckpt",
-     "docs/dmc_humanoid_walk_run.log", ("epoch", 5000), "cpu"),
     ("fish_swim", "benchruns/fish_swim_rowstop.yaml",
      "runs/FishSwim_envpool/nn/FishSwim_envpool.ckpt",
      "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
