@@ -35,9 +35,15 @@ RUNS = [
     ("fish_swim", "benchruns/fish_swim_rowstop.yaml",
      "runs/FishSwim_envpool/nn/FishSwim_envpool.ckpt",
      "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
-    ("hopper_stand", "benchruns/hopper_stand_rowstop.yaml",
-     "runs/HopperStand_envpool/nn/HopperStand_envpool.ckpt",
-     "docs/dmc_hopper_stand_run.log", ("epoch", 4000), "cpu"),
+    # seed 5 died at 54% of budget with the entropy-collapse signature
+    # (entropy -1.4, reward never above 7 -- the WalkerRun seed-5 failure
+    # mode; runs/HopperStand_envpool TB); two fresh seeds run in parallel
+    ("hopper_stand_s11", "benchruns/hopper_stand_s11_rowstop.yaml",
+     "runs/HopperStand_envpool_s11/nn/HopperStand_envpool_s11.ckpt",
+     "docs/dmc_hopper_stand_s11_run.log", ("epoch", 4000), "cpu"),
+    ("hopper_stand_s17", "benchruns/hopper_stand_s17_rowstop.yaml",
+     "runs/HopperStand_envpool_s17/nn/HopperStand_envpool_s17.ckpt",
+     "docs/dmc_hopper_stand_s17_run.log", ("epoch", 4000), "cpu"),
     # row-stop fired at ~2M frames but deterministic playback (883.41)
     # sits below WalkerStand's 907 row (train mean > playback on this
     # task) -- continue the same seed on the verbatim no-stop config to
