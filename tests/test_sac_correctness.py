@@ -236,8 +236,12 @@ def test_resume_from_stripped_replay_pauses_updates(tmp_path):
     """Regression: resuming from a replay-stripped checkpoint (the default,
     replay_buffer_checkpoint=False) restores epoch >> warmup, so without a
     fill gate the agent would immediately run UTD updates against a
-    near-empty fresh ring. The replay_min_fill gate must hold updates until
-    one full batch of real rows has been re-collected (sac.py:_restore)."""
+    near-empty fresh ring. The gate must hold updates until the resume
+    floor of real rows has been re-collected (sac.py:_restore; the floor
+    defaults to 5% of the ring — pinned to one batch here via
+    replay_resume_min_fill so the row arithmetic below stays exact;
+    tests/test_sac.py::test_stripped_resume_raises_update_gate covers the
+    raised default)."""
     from rl_games_tpu.utils import checkpoint as ckpt
 
     env = _FakeHostEnv([1000, 1000])
@@ -254,7 +258,8 @@ def test_resume_from_stripped_replay_pauses_updates(tmp_path):
     )
 
     env2 = _FakeHostEnv([1000, 1000])
-    agent2 = _agent(env2, num_warmup_steps=2, batch_size=8)
+    agent2 = _agent(env2, num_warmup_steps=2, batch_size=8,
+                    replay_resume_min_fill=8)
     state2 = agent2.init_state()
     state2, _meta = agent2._restore(path, state2)
     assert int(replay_size(state2.replay)) == 0   # ring is fresh
