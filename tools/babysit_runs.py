@@ -37,10 +37,10 @@ RUNS = [
      "docs/dmc_fish_swim_run.log", ("epoch", 4000), "cpu"),
     # seed 5 died at 54% of budget with the entropy-collapse signature
     # (entropy -1.4, reward never above 7 -- the WalkerRun seed-5 failure
-    # mode; runs/HopperStand_envpool TB); two fresh seeds run in parallel
-    ("hopper_stand_s11", "benchruns/hopper_stand_s11_rowstop.yaml",
-     "runs/HopperStand_envpool_s11/nn/HopperStand_envpool_s11.ckpt",
-     "docs/dmc_hopper_stand_s11_run.log", ("epoch", 4000), "cpu"),
+    # mode; runs/HopperStand_envpool TB); two fresh seeds ran in parallel.
+    # Seed 11 reproduced the dead draw (rew 2.46 at 69% of budget, same
+    # signature) and was CUT at the session restart -- finishing a dead
+    # seed's budget proves nothing; its core goes to humanoid_run instead.
     ("hopper_stand_s17", "benchruns/hopper_stand_s17_rowstop.yaml",
      "runs/HopperStand_envpool_s17/nn/HopperStand_envpool_s17.ckpt",
      "docs/dmc_hopper_stand_s17_run.log", ("epoch", 4000), "cpu"),
