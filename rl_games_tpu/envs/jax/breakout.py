@@ -260,8 +260,18 @@ class DeviceBreakout(JaxEnv):
         )
         row_vals = jnp.asarray(ROW_VALUES, jnp.float32)
         brick_reward = jnp.where(brick_alive, row_vals[r_safe], 0.0)
-        # brick bounce: vertical reflection (the dominant ALE behavior)
-        vy = jnp.where(brick_alive, -vy, vy)
+        # brick bounce: reflection axis from the entry direction. Same brick
+        # row but a different column means the ball came through a side face
+        # -> flip vx; any row change is a top/bottom face -> flip vy (the
+        # dominant ALE behavior; corner entries, where both indices change,
+        # also flip vy). Per-substep motion is bounded under one 4x7 cell,
+        # so the pre-step cell is adjacent and the comparison is exact.
+        r_prev = ((by0 - self.WALL_TOP) / self.BRICK_H).astype(jnp.int32)
+        c_prev = (bx0 / self.BRICK_W).astype(jnp.int32)
+        c_raw = (bx / self.BRICK_W).astype(jnp.int32)
+        side_entry = brick_alive & (r_prev == r_idx) & (c_prev != c_raw)
+        vx = jnp.where(side_entry, -vx, vx)
+        vy = jnp.where(brick_alive & ~side_entry, -vy, vy)
 
         # board cleared -> fresh wall (ALE serves a new board)
         cleared = ~bricks.any()

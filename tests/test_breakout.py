@@ -79,6 +79,19 @@ def test_brick_hit_scores_removes_reflects():
     assert float(r) == ROW_VALUES[0] == 7.0
 
 
+def test_brick_side_entry_reflects_horizontally():
+    env = DeviceBreakout(frame_skip=1)
+    # ball moving horizontally inside the bottom brick row (y=37 -> row 5),
+    # crossing the column-6 -> column-7 boundary at x=49: a side-face hit
+    # must flip vx (not vy) so the ball cannot tunnel sideways along a row
+    s = _state(env, ball_x=47.5, ball_y=37.0, vel_x=2.2, vel_y=0.0)
+    s2, _, r, term, _ = env.step(s, jnp.int32(1), jax.random.PRNGKey(0))
+    assert float(r) == 1.0
+    assert not bool(s2.bricks[5, 7])
+    assert float(s2.vel_x) < 0  # horizontal reflection
+    assert float(s2.vel_y) == 0.0  # vertical velocity untouched
+
+
 def test_paddle_bounce_steers():
     env = DeviceBreakout(frame_skip=1)
     # ball falling onto the right paddle edge: reflects up with positive vx
